@@ -1,0 +1,313 @@
+"""Gorilla TSC codec: timestamp delta-of-delta + value-XOR bit compression.
+
+From-scratch implementation of the compression scheme published in the
+Facebook Gorilla paper ("Gorilla: A Fast, Scalable, In-Memory Time Series
+Database", VLDB 2015), which the reference uses through the external
+``fi.iki.yak:compression-gorilla`` library (reference: archive/GorillaBlock.scala,
+archive/package.scala:32-37 -- Double values only).
+
+A **GorillaArray** encodes an ordered series of ``(timestamp, 64-bit value)``
+pairs:
+
+- header: number of pairs (uint32 LE) + block timestamp (int64 LE);
+- first pair: delta to the block timestamp in 27 bits (must be < 2^27 - 1,
+  reference validation/TimestampValidator.scala:17-23), value raw 64 bits;
+- subsequent timestamps: delta-of-delta buckets
+  ``0 | 10+7b | 110+9b | 1110+12b | 1111+32b`` (offset to unsigned;
+  consecutive gaps must be < 2^31, TimestampValidator.scala:26-31);
+- subsequent values: XOR with previous; '0' if identical, else
+  '1' + ('0' reuse previous leading/length window | '1' + 5b leading +
+  6b length) + meaningful bits.
+
+A **tuple GorillaBlock** is two GorillaArrays (values with their timestamps,
+validities with their timestamps) framed as
+``int32_BE(len(value_bytes)) ++ value_bytes ++ validity_bytes``
+(GorillaBlock.scala:39-48). A **sampled GorillaBlock** is a single value
+array plus a fixed sample-rate validity (GorillaBlock.scala:90-121).
+
+Round-trip contracts pinned by the reference's GorillaBlockSpec (lifted to
+tests/test_gorilla.py): exact round-trips including Long extremes via Double,
+framing length ``4 + len(values) + len(validities)``, errors on empty/corrupt
+input and non-positive sample rates.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .fitter import fit
+
+__all__ = [
+    "compress_array",
+    "decompress_array",
+    "compress_tuple_block",
+    "decompress_tuple_block",
+    "serialize_tuple_block",
+    "deserialize_tuple_block",
+    "compress_sampled_block",
+    "decompress_sampled_block",
+    "validate_gorilla_timestamps",
+]
+
+_MAX_FIRST_DELTA = (1 << 27) - 1
+_MAX_GAP = 1 << 31
+
+# delta-of-delta buckets: (prefix_value, prefix_bits, payload_bits, offset)
+# bucket holds dod in [-offset, 2^bits - offset - 1]
+_DOD_BUCKETS = (
+    (0b10, 2, 7, 63),        # [-63, 64]
+    (0b110, 3, 9, 255),      # [-255, 256]
+    (0b1110, 4, 12, 2047),   # [-2047, 2048]
+    (0b1111, 4, 32, 1 << 31),
+)
+
+
+def validate_gorilla_timestamps(ts) -> None:
+    """Enforce the reference's TimestampValidator Gorilla constraints
+    (TimestampValidator.scala:17-31, 56-98)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    if ts.size == 0:
+        return
+    if ts[0] <= 0:
+        raise ValueError("Gorilla timestamps must be positive")
+    if ts.size > 1:
+        gaps = np.diff(ts)
+        if not np.all(gaps > 0):
+            raise ValueError("Timestamps must be strictly increasing")
+        if not np.all(gaps < _MAX_GAP):
+            raise ValueError("Consecutive timestamp gap must be < 2^31")
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        if bits == 0:
+            return 0
+        if self.pos + bits > len(self.data) * 8:
+            raise ValueError("corrupt Gorilla array: out of bits")
+        out = 0
+        p = self.pos
+        remaining = bits
+        while remaining > 0:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = avail if avail < remaining else remaining
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+            remaining -= take
+        self.pos = p
+        return out
+
+
+def compress_array(timestamps, values_u64) -> bytes:
+    """Encode (int64 ts, uint64 value-bits) pairs into a GorillaArray."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values_u64, dtype=np.uint64)
+    n = int(ts.size)
+    if n == 0:
+        raise ValueError("cannot compress an empty series")
+    validate_gorilla_timestamps(ts)
+    block_ts = int(ts[0])
+
+    w = _BitWriter()
+    w.write(0, 27)  # first delta relative to block_ts (== first ts here)
+    w.write(int(vals[0]), 64)
+
+    prev_delta = 0
+    prev_val = int(vals[0])
+    prev_lead, prev_len = -1, -1
+    for i in range(1, n):
+        delta = int(ts[i]) - int(ts[i - 1])
+        dod = delta - prev_delta
+        prev_delta = delta
+        if dod == 0:
+            w.write(0, 1)
+        else:
+            for prefix, pbits, bits, offset in _DOD_BUCKETS:
+                if -offset <= dod < (1 << bits) - offset:
+                    w.write(prefix, pbits)
+                    w.write(dod + offset, bits)
+                    break
+            else:  # pragma: no cover - excluded by gap validation
+                raise ValueError("delta-of-delta out of range")
+        v = int(vals[i])
+        xor = prev_val ^ v
+        prev_val = v
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            lead = min(64 - xor.bit_length(), 31)
+            trail = (xor & -xor).bit_length() - 1
+            # keep the meaningful window decodable with 6-bit length (64 -> 0)
+            length = 64 - lead - trail
+            w.write(1, 1)
+            if (
+                prev_lead >= 0
+                and lead >= prev_lead
+                and (64 - prev_lead - prev_len) <= trail
+            ):
+                w.write(0, 1)
+                w.write(xor >> (64 - prev_lead - prev_len), prev_len)
+            else:
+                w.write(1, 1)
+                w.write(lead, 5)
+                w.write(length & 0x3F, 6)
+                w.write(xor >> trail, length)
+                prev_lead, prev_len = lead, length
+    return struct.pack("<Iq", n, block_ts) + w.getvalue()
+
+
+def decompress_array(data: bytes):
+    """Decode a GorillaArray to (int64 timestamps, uint64 value-bits)."""
+    if len(data) < 12:
+        raise ValueError("corrupt Gorilla array: too short")
+    n, block_ts = struct.unpack_from("<Iq", data, 0)
+    if n == 0 or n > (1 << 31):
+        raise ValueError("corrupt Gorilla array: bad entry count")
+    r = _BitReader(bytes(data[12:]))
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.uint64)
+    first_delta = r.read(27)
+    ts[0] = block_ts + first_delta
+    val = r.read(64)
+    vals[0] = val
+    prev_delta = first_delta
+    prev_lead, prev_len = -1, -1
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            if r.read(1) == 0:
+                bits, offset = 7, 63
+            elif r.read(1) == 0:
+                bits, offset = 9, 255
+            elif r.read(1) == 0:
+                bits, offset = 12, 2047
+            else:
+                bits, offset = 32, 1 << 31
+            dod = r.read(bits) - offset
+        prev_delta += dod
+        ts[i] = ts[i - 1] + prev_delta
+        if r.read(1) == 1:
+            if r.read(1) == 0:
+                if prev_len < 0:
+                    raise ValueError("corrupt Gorilla array: no previous window")
+                lead, length = prev_lead, prev_len
+            else:
+                lead = r.read(5)
+                length = r.read(6)
+                if length == 0:
+                    length = 64
+                prev_lead, prev_len = lead, length
+            xor = r.read(length) << (64 - lead - length)
+            val ^= xor
+        vals[i] = val
+    return ts, vals
+
+
+# ---------------------------------------------------------------------------
+# Blocks (GorillaBlock.scala)
+# ---------------------------------------------------------------------------
+
+def compress_tuple_block(entries, compress: bool = True) -> bytes:
+    """Compress fitted (ts, double value, validity) entries into a serialized
+    tuple GorillaBlock. Entries run through the fitter first, mirroring
+    GorillaBlock.Builder (GorillaBlock.scala:208-300)."""
+    entries = fit(list(entries), compress=compress)
+    if not entries:
+        raise ValueError("cannot compress an empty series")
+    ts = np.array([e[0] for e in entries], dtype=np.int64)
+    values = np.array([e[1] for e in entries], dtype=np.float64)
+    validities = np.array([e[2] for e in entries], dtype=np.int64)
+    value_bytes = compress_array(ts, values.view(np.uint64))
+    validity_bytes = compress_array(ts, validities.astype(np.uint64))
+    return serialize_tuple_block(value_bytes, validity_bytes)
+
+
+def serialize_tuple_block(value_bytes: bytes, validity_bytes: bytes) -> bytes:
+    """Framing: int32_BE(len(value_bytes)) ++ value_bytes ++ validity_bytes
+    (GorillaBlock.scala:39-48)."""
+    if not value_bytes:
+        raise ValueError("Value GorillaArray cannot be empty.")
+    if not validity_bytes:
+        raise ValueError("Validities GorillaArray cannot be empty.")
+    return struct.pack(">i", len(value_bytes)) + value_bytes + validity_bytes
+
+
+def deserialize_tuple_block(data: bytes):
+    """Inverse of :func:`serialize_tuple_block`; returns the two arrays."""
+    if len(data) < 4:
+        raise ValueError("corrupt tuple block: too short")
+    (vlen,) = struct.unpack_from(">i", data, 0)
+    if vlen <= 0 or 4 + vlen > len(data):
+        raise ValueError("corrupt tuple block: bad value-array length")
+    return bytes(data[4 : 4 + vlen]), bytes(data[4 + vlen :])
+
+
+def decompress_tuple_block(data: bytes):
+    """Serialized tuple block -> list of (ts, double value, validity)."""
+    value_bytes, validity_bytes = deserialize_tuple_block(data)
+    ts_v, vals = decompress_array(value_bytes)
+    ts_d, validities = decompress_array(validity_bytes)
+    if ts_v.size != ts_d.size or not np.array_equal(ts_v, ts_d):
+        raise ValueError(
+            "The byte arrays in this block are not a valid compressed timeseries."
+        )
+    values = vals.view(np.float64)
+    return [
+        (int(t), float(v), int(d))
+        for t, v, d in zip(ts_v, values, validities.astype(np.int64))
+    ]
+
+
+def compress_sampled_block(entries, sample_rate: int, compress: bool = True) -> bytes:
+    """Sampled block: one value array; validities are discarded and become
+    ``sample_rate`` at decompression (GorillaBlock.scala:90-121)."""
+    if sample_rate <= 0:
+        raise ValueError("Sampling rate must be positive.")
+    entries = fit(list(entries), compress=compress)
+    if not entries:
+        raise ValueError("cannot compress an empty series")
+    ts = np.array([e[0] for e in entries], dtype=np.int64)
+    values = np.array([e[1] for e in entries], dtype=np.float64)
+    return compress_array(ts, values.view(np.uint64))
+
+
+def decompress_sampled_block(data: bytes, sample_rate: int):
+    if sample_rate <= 0:
+        raise ValueError("Sampling rate must be positive.")
+    ts, vals = decompress_array(data)
+    values = vals.view(np.float64)
+    return [(int(t), float(v), int(sample_rate)) for t, v in zip(ts, values)]

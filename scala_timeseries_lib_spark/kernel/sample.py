@@ -1,0 +1,111 @@
+"""Sampling, entry splitting, and gap filling.
+
+- ``sample``: the reference's resample/LOCF primitive (TimeSeries.scala:598-646).
+  Strict mode takes the exact value at each grid point ``start + k*rate``;
+  closest mode looks in ``[p - rate/2, p + rate/2)`` and takes the entry
+  *starting* closest to the point, falling back to the entry defined at the
+  point (LOCF with jitter tolerance). Never aggregates.
+- ``split_longer_than``: chop entries into <= max_length pieces, without
+  compressing the resulting equal pieces (TimeSeries.scala:364-370, 595-596).
+- ``fill``: fill every hole with a constant over ``[head.ts, last.end)``
+  (TimeSeries.scala:154-161 via fallback of one long entry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fitter import fit
+from .merge import merge_entries, op_fallback
+
+__all__ = ["sample", "sample_arrays_strict", "split_longer_than", "fill"]
+
+
+def sample(entries, start: int, rate: int, use_closest: bool, compress: bool = False):
+    """Port of the lazy-stream sampler TimeSeries.scala:601-646 (exact rules)."""
+    entries = list(entries)
+    n = len(entries)
+    out = []
+    i = 0
+    p = start
+    half = rate // 2
+    while i < n:
+        ts, value, validity = entries[i]
+        until = ts + validity
+        # the head entry is still too far in the future -> advance sample point
+        too_far = ts > p + half if use_closest else ts > p
+        if too_far:
+            p += rate
+            continue
+        if i + 1 < n:
+            nxt_ts = entries[i + 1][0]
+            if not use_closest:
+                take = p < until
+            else:
+                take = (p < until and nxt_ts > p + half) or (
+                    abs(ts - p) < abs(nxt_ts - p)
+                )
+            if take:
+                out.append((p, value, rate))
+                p += rate
+            else:
+                i += 1
+        else:
+            # last entry: only take its value while still defined at p
+            if p < until:
+                out.append((p, value, rate))
+                p += rate
+            else:
+                i += 1
+    return fit(out, compress=compress) if compress else out
+
+
+def sample_arrays_strict(ts, value, validity, start: int, rate: int):
+    """Vectorized strict sampling: value at each grid point where defined.
+
+    Equivalent to ``sample(..., use_closest=False)`` for fitted entries.
+    Returns (grid_ts, value, validity=rate) arrays.
+    """
+    ts = np.asarray(ts, np.int64)
+    value = np.asarray(value)
+    validity = np.asarray(validity, np.int64)
+    if ts.size == 0:
+        return ts, value, validity
+    end = int(ts[-1] + validity[-1])
+    if start >= end:
+        return ts[:0], value[:0], validity[:0]
+    k = (end - 1 - start) // rate
+    grid = start + rate * np.arange(k + 1, dtype=np.int64)
+    idx = np.searchsorted(ts, grid, side="right") - 1
+    ok = idx >= 0
+    idxc = np.clip(idx, 0, ts.size - 1)
+    defined = ok & (grid < ts[idxc] + validity[idxc])
+    g = grid[defined]
+    return g, value[idxc[defined]], np.full(g.size, rate, np.int64)
+
+
+def split_longer_than(entries, max_length: int):
+    """Split every entry into pieces of at most ``max_length``; the pieces of
+    one entry carry equal values but are NOT compressed (TimeSeries.scala:368-369).
+    """
+    out = []
+    for ts, value, validity in entries:
+        t = ts
+        until = ts + validity
+        while until - t > max_length:
+            out.append((t, value, max_length))
+            t += max_length
+        out.append((t, value, until - t))
+    return out
+
+
+def fill(entries, fill_value, compress: bool = True):
+    """Fill holes with ``fill_value``; result spans ``[first.ts, last.end)``
+    with a single continuous domain (TimeSeries.scala:154-161)."""
+    entries = list(entries)
+    if not entries:
+        return []
+    start = entries[0][0]
+    end = entries[-1][0] + entries[-1][2]
+    backdrop = [(start, fill_value, end - start)]
+    return merge_entries(entries, backdrop, op_fallback, compress=compress)
