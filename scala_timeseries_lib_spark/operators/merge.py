@@ -1,0 +1,80 @@
+"""DataFrame-level interval merges (the reference's join family, SURVEY.md 2.6).
+
+The merge is a sort-merge full-outer *interval-alignment* join on time, per
+series key. Spark's hash-partitioned cogroup does the heavy lifting (one
+shuffle per side on the key); the per-key interval logic runs vectorized in
+the numpy kernel (``kernel.merge.merge_apply_numeric``) over Arrow batches.
+
+For the named numeric operators the kernel path is fully vectorized
+(searchsorted over the boundary union); a generic Python ``op`` callable is
+also supported at reduced speed (kernel.merge.merge_entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["merge_series", "NUMERIC_OPS"]
+
+NUMERIC_OPS = ("plus", "plus_strict", "minus_strict", "multiply_strict", "fallback")
+
+
+def merge_series(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    op: str = "plus",
+    compress: bool = True,
+) -> DataFrame:
+    """Merge two entries tables series-by-series with a numeric operator.
+
+    ``op``: one of ``plus`` (non-strict, NumericTimeSeries.scala:18-26),
+    ``plus_strict``/``minus_strict``/``multiply_strict``
+    (TimeSeries.scala:277-328) or ``fallback`` (TimeSeries.scala:530-534).
+    Keys present on only one side behave as merging with the empty series
+    (strict ops yield nothing; non-strict ops pass the defined side through).
+    """
+    import pandas as pd
+
+    from ..kernel.merge import merge_apply_numeric
+
+    key_fields = [left.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        ts, value, validity = merge_apply_numeric(
+            l["ts"].to_numpy(), l["value"].to_numpy(), l["validity"].to_numpy(),
+            r["ts"].to_numpy(), r["value"].to_numpy(), r["validity"].to_numpy(),
+            op=op, compress=compress,
+        )
+        out = pd.DataFrame({"ts": ts, "value": value, "validity": validity})
+        for col, val in zip(key_cols, key):
+            out[col] = val
+        return out[[*key_cols, "ts", "value", "validity"]]
+
+    # union with a side tag + single grouped kernel: one shuffle total, and
+    # it sidesteps Spark's self-cogroup attribute ambiguity when both inputs
+    # share lineage (two filters of the same parent DataFrame)
+    tagged = left.select(
+        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+    ).unionByName(
+        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+    )
+    return tagged.groupBy(*key_cols).applyInPandas(_merge, schema=out_schema)

@@ -1,0 +1,274 @@
+"""JVM-side series operators: trims, fill, splitting, integrals, rollup.
+
+Every operator in this module compiles to pure Catalyst plans (filters,
+projections, ``sequence``/``explode``, window frames, hash aggregations) --
+no Python on the hot path. These cover the large majority of the reference's
+operator inventory (SURVEY.md section 2.3-2.5, 2.7-2.8, 2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "trim_right",
+    "trim_left",
+    "trim_right_discrete",
+    "trim_left_discrete",
+    "slice_series",
+    "fill_gaps_locf",
+    "fill_gaps_constant",
+    "split_entries_longer_than",
+    "split_at_buckets",
+    "step_integral",
+    "rollup_time_weighted",
+    "reaggregate_rollup",
+    "series_stats",
+    "sample_strict_grid",
+]
+
+def _until():
+    return F.col("ts") + F.col("validity")
+
+
+def trim_right(df: DataFrame, at: int) -> DataFrame:
+    """Undefined for t >= at; the straddling entry is split/shortened
+    (TimeSeries.scala:57, TSEntry.scala:46-76)."""
+    return df.filter(F.col("ts") < at).withColumn(
+        "validity", F.least(F.col("validity"), F.lit(at) - F.col("ts"))
+    )
+
+
+def trim_left(df: DataFrame, at: int) -> DataFrame:
+    """Undefined for t < at; the straddling entry's start moves forward
+    (TimeSeries.scala:67, TSEntry.scala:81-112)."""
+    return (
+        df.filter(_until() > at)
+        .withColumn("new_ts", F.greatest(F.col("ts"), F.lit(at)))
+        .withColumn("validity", F.col("ts") + F.col("validity") - F.col("new_ts"))
+        .drop("ts")
+        .withColumnRenamed("new_ts", "ts")
+    )
+
+
+def trim_right_discrete(df: DataFrame, at: int, include_entry: bool = True) -> DataFrame:
+    """Never splits: keep the straddling entry whole or drop it
+    (TimeSeries.scala:59-74)."""
+    return df.filter(F.col("ts") < at) if include_entry else df.filter(_until() <= at)
+
+
+def trim_left_discrete(df: DataFrame, at: int, include_entry: bool = True) -> DataFrame:
+    return df.filter(_until() > at) if include_entry else df.filter(F.col("ts") >= at)
+
+
+def slice_series(df: DataFrame, start: int, end: int) -> DataFrame:
+    """``trimLeft(start).trimRight(end)`` (TimeSeries.scala:47)."""
+    return trim_right(trim_left(df, start), end)
+
+
+def fill_gaps_locf(
+    df: DataFrame, key_cols: list[str], max_hole: int | None = None
+) -> DataFrame:
+    """Fill holes with the last observed value (LOCF): for every gap between
+    an entry's end and the next entry's start, emit a fill entry carrying the
+    previous value (reference ``fill``/``fallback``, TimeSeries.scala:154-161,
+    with fillValue = previous value). ``max_hole`` optionally skips holes
+    larger than a bound. Pure JVM: one ``lead`` window + union."""
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    gaps = (
+        df.withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("hole", F.col("next_ts") - _until())
+        .filter(F.col("hole") > 0)
+    )
+    if max_hole is not None:
+        gaps = gaps.filter(F.col("hole") <= max_hole)
+    fills = gaps.select(
+        *key_cols,
+        _until().alias("ts"),
+        F.col("value"),
+        F.col("hole").alias("validity"),
+    )
+    return df.select(*key_cols, "ts", "value", "validity").unionByName(fills)
+
+
+def fill_gaps_constant(df: DataFrame, key_cols: list[str], fill_value: float) -> DataFrame:
+    """Reference ``fill(whenUndef)``: constant-fill every hole
+    (TimeSeries.scala:154-161). Note: no RLE compression with neighbors is
+    applied here; run fit_entries(compress=True) after if needed."""
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    gaps = (
+        df.withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("hole", F.col("next_ts") - _until())
+        .filter(F.col("hole") > 0)
+    )
+    fills = gaps.select(
+        *key_cols,
+        _until().alias("ts"),
+        F.lit(float(fill_value)).alias("value"),
+        F.col("hole").alias("validity"),
+    )
+    return df.select(*key_cols, "ts", "value", "validity").unionByName(fills)
+
+
+def split_entries_longer_than(df: DataFrame, max_length: int) -> DataFrame:
+    """Chop every entry into <= max_length pieces (TimeSeries.scala:364-370)
+    via JVM-side ``sequence``/``explode`` -- no Python, no shuffle."""
+    return (
+        df.withColumn(
+            "piece_ts",
+            F.explode(
+                F.sequence(
+                    F.col("ts"), F.col("ts") + F.col("validity") - 1, F.lit(max_length)
+                )
+            ),
+        )
+        .withColumn(
+            "piece_validity",
+            F.least(F.lit(max_length), F.col("ts") + F.col("validity") - F.col("piece_ts")),
+        )
+        .drop("ts", "validity")
+        .withColumnsRenamed({"piece_ts": "ts", "piece_validity": "validity"})
+    )
+
+
+def split_at_buckets(df: DataFrame, step: int, origin: int = 0) -> DataFrame:
+    """Split entries at bucket boundaries of width ``step`` anchored at
+    ``origin`` (TimeBucketer.scala:79-84 semantics): an entry spanning k
+    buckets becomes k rows clipped to bucket edges, plus a ``bucket`` column
+    (bucket start time). JVM-side explode; this is the mandatory pre-split
+    for reference-exact rollups."""
+    # integer arithmetic (pmod) -- double division risks off-by-one on exact
+    # multiples at epoch-ms magnitudes
+    until = F.col("ts") + F.col("validity")
+    first_bucket = F.col("ts") - F.pmod(F.col("ts") - origin, F.lit(step))
+    last_bucket = (until - 1) - F.pmod(until - 1 - origin, F.lit(step))
+    return (
+        df.withColumn("bucket", F.explode(F.sequence(first_bucket, last_bucket, F.lit(step))))
+        .withColumn("piece_ts", F.greatest(F.col("ts"), F.col("bucket")))
+        .withColumn(
+            "piece_validity",
+            F.least(until, F.col("bucket") + step) - F.col("piece_ts"),
+        )
+        .drop("ts", "validity")
+        .withColumnsRenamed({"piece_ts": "ts", "piece_validity": "validity"})
+    )
+
+
+def step_integral(
+    df: DataFrame, key_cols: list[str], timeunit: str = "ms", step_length: int | None = None
+) -> DataFrame:
+    """Running cumulative integral per series (NumericTimeSeries.scala:66-91);
+    optionally split long entries first (trait stepIntegral,
+    TimeSeries.scala:340-349). Result column ``value`` is the running
+    integral; still a step function. Pure JVM window cumsum."""
+    from ..kernel.integral import seconds_factor  # noqa: PLC0415
+
+    if step_length is not None:
+        df = split_entries_longer_than(df, step_length)
+    f = seconds_factor(timeunit)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "value", F.sum(F.col("value") * F.col("validity") * F.lit(f)).over(w)
+    )
+
+
+def rollup_time_weighted(
+    df: DataFrame, key_cols: list[str], step: int, origin: int = 0, round_to: int | None = None
+) -> DataFrame:
+    """Continuous-aggregate rollup (TimeSeries.scala:501-508): boundary-split
+    then per-bucket aggregates. Emits the reaggregatable sufficient
+    statistics (wsum/dur) alongside the human aggregates so coarser tiers can
+    be computed from finer ones without revisiting raw data.
+
+    Output: key_cols + bucket, twmean, vmin, vmax, integral_s, support_ms, n_pieces.
+    One shuffle (hash aggregation after the JVM-side explode); partial
+    aggregation (map-side combine) applies since it's a plain groupBy.
+    """
+    pieces = split_at_buckets(df, step, origin)
+    agg = pieces.groupBy(*key_cols, "bucket").agg(
+        (F.sum(F.col("value") * F.col("validity")) / F.sum("validity")).alias("twmean"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        (F.sum(F.col("value") * F.col("validity")) / 1000.0).alias("integral_s"),
+        F.sum("validity").alias("support_ms"),
+        F.count(F.lit(1)).alias("n_pieces"),
+    )
+    if round_to is not None:
+        agg = agg.withColumn("twmean", F.round("twmean", round_to)).withColumn(
+            "integral_s", F.round("integral_s", round_to)
+        )
+    return agg
+
+
+def reaggregate_rollup(
+    tier: DataFrame, key_cols: list[str], step: int, origin: int = 0
+) -> DataFrame:
+    """Build a coarser tier from a finer tier using the sufficient statistics
+    (wsum = integral_s*1000, dur = support_ms). Exact because time-weighted
+    sums are associative. Buckets of the finer tier must nest into the
+    coarser step."""
+    coarse = (F.col("bucket") - F.pmod(F.col("bucket") - origin, F.lit(step))).alias(
+        "bucket"
+    )
+    return tier.groupBy(*key_cols, coarse).agg(
+        (F.sum(F.col("integral_s") * 1000.0) / F.sum("support_ms")).alias("twmean"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("integral_s").alias("integral_s"),
+        F.sum("support_ms").alias("support_ms"),
+        F.sum("n_pieces").alias("n_pieces"),
+    )
+
+
+def series_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-series metadata: loose domain, support ratio, size, continuity
+    (TimeSeries.scala:510-545)."""
+    w_until = F.max(_until())
+    return df.groupBy(*key_cols).agg(
+        F.min("ts").alias("domain_start"),
+        w_until.alias("domain_until"),
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("validity").alias("support_ms"),
+        (F.sum("validity") / (w_until - F.min("ts"))).alias("support_ratio"),
+    )
+
+
+def sample_strict_grid(
+    df: DataFrame, key_cols: list[str], rate: int, start_expr=None
+) -> DataFrame:
+    """Strict sampling on a fixed grid, fully JVM-side.
+
+    Grid points are ``start + k*rate`` per series (``start`` defaults to the
+    series' first timestamp, like WindowSlider's resampling). A grid point p
+    takes the value of the entry with the largest ts <= p if p < its end
+    (reference strict sample, TimeSeries.scala:622-624). Implemented as an
+    as-of join: explode each entry to the grid points it covers -- exact
+    because entries are non-overlapping, and cheap because an entry covers
+    ~validity/rate grid points.
+    """
+    w = Window.partitionBy(*key_cols)
+    if start_expr is None:
+        start_expr = F.min("ts").over(w)
+    df = df.withColumn("grid_start", start_expr)
+    # first grid point >= ts (ceil), last grid point < until; integer
+    # arithmetic, offsets from grid_start are non-negative
+    off = F.col("ts") - F.col("grid_start")
+    k_first = ((off + rate - 1) - F.pmod(off + rate - 1, F.lit(rate))) / rate
+    k_first = k_first.cast("long")
+    off_last = F.col("ts") + F.col("validity") - 1 - F.col("grid_start")
+    k_last = ((off_last - F.pmod(off_last, F.lit(rate))) / rate).cast("long")
+    return (
+        df.filter(k_last >= k_first)
+        .withColumn("k", F.explode(F.sequence(k_first, k_last)))
+        .select(
+            *key_cols,
+            (F.col("grid_start") + F.col("k") * rate).alias("ts"),
+            "value",
+            F.lit(rate).alias("validity"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Sliding-window operators.
+
+Two execution strategies, chosen by semantics (SURVEY.md 2.9 / 3.3):
+
+- ``sliding_grid_agg``: time-aware aggregates over a *continuous* resampled
+  grid. On a hole-free grid with window = m*rate the reference's sweep emits
+  exactly at grid points, so the aggregate equals a plain Spark range-frame
+  window -- 100% JVM-side, whole-stage-codegen, no Python. (Equivalence is
+  pinned against the kernel sweep in tests/test_spark_operators.py.)
+
+- ``sliding_window_exact``: the reference-exact sweep (arbitrary emission
+  boundaries, holes, time-unaware aggregators) via the numpy kernel per
+  series group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+__all__ = ["sliding_grid_agg", "sliding_window_exact"]
+
+
+def sliding_grid_agg(
+    grid: DataFrame,
+    key_cols: list[str],
+    window_width: int,
+    rate: int,
+    agg: str = "integral",
+    timeunit: str = "ms",
+) -> DataFrame:
+    """Trailing-window aggregate over an already-sampled uniform grid.
+
+    ``grid`` must be hole-free per series with constant validity = rate
+    (e.g. from operators.series_ops.sample_strict_grid after LOCF fill).
+    The window covers entries intersecting ``[t - window_width, t]``, i.e.
+    grid entries with ``ts > t - window_width - rate`` (reference removal
+    rule, WindowSlider.scala:226-228).
+
+    ``agg``: integral | mean (time-weighted) | sum | min | max.
+    """
+    from ..kernel.integral import seconds_factor
+
+    f = seconds_factor(timeunit)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts")
+        .rangeBetween(-(window_width + rate - 1), 0)
+    )
+    v, d = F.col("value"), F.col("validity")
+    if agg == "integral":
+        expr = F.sum(v * d * F.lit(f)).over(w)
+    elif agg == "mean":
+        expr = F.sum(v * d).over(w) / F.sum(d).over(w)
+    elif agg == "sum":
+        expr = F.sum(v).over(w)
+    elif agg == "min":
+        expr = F.min(v).over(w)
+    elif agg == "max":
+        expr = F.max(v).over(w)
+    else:
+        raise ValueError(f"unknown agg {agg!r}")
+    return grid.withColumn("value", expr)
+
+
+_AGG_FACTORIES = {
+    "sum": "SumAggregator",
+    "mean": "MeanAggregator",
+    "std": "StdAggregator",
+    "min": "MinAggregator",
+    "max": "MaxAggregator",
+    "integral": "IntegralAggregator",
+}
+
+
+def sliding_window_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    window_width: int,
+    agg: str,
+    sample_rate: int | None = None,
+    use_closest: bool = True,
+    timeunit: str = "ms",
+    compress: bool = True,
+) -> DataFrame:
+    """Reference-exact slidingWindow / slidingIntegral per series via the
+    kernel sweep (TimeSeries.scala:412-443). One shuffle on the key."""
+    import pandas as pd
+
+    from ..kernel import window as kwin
+    from ..kernel.fitter import fit
+
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+
+    def make_agg():
+        cls = getattr(kwin, _AGG_FACTORIES[agg])
+        if agg == "integral":
+            return cls(timeunit)
+        return cls()
+
+    def _sweep(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        entries = list(
+            zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
+        )
+        out = []
+        for (ts, _content, validity), a in kwin.window_sweep(
+            entries, window_width, make_agg(), sample_rate, use_closest
+        ):
+            if a is not None:
+                out.append((ts, float(a), validity))
+        if compress:
+            out = fit(out, compress=True)
+        res = pd.DataFrame(out, columns=["ts", "value", "validity"])
+        for col, val in zip(key_cols, key):
+            res[col] = val
+        return res[[*key_cols, "ts", "value", "validity"]]
+
+    return df.groupBy(*key_cols).applyInPandas(_sweep, schema=out_schema)

@@ -1,0 +1,220 @@
+"""Spark operators vs the (fixture-pinned) numpy kernels on random series.
+
+Mirrors the reference's shared TestBench pattern (TimeSeriesTestBench.scala):
+the same logical series is pushed through (a) the pure kernel and (b) the
+Spark pipeline, and the results must agree exactly.
+"""
+
+import numpy as np
+import pytest
+
+from scala_timeseries_lib_spark.kernel import bucket as kbucket
+from scala_timeseries_lib_spark.kernel import fitter as kfitter
+from scala_timeseries_lib_spark.kernel import integral as kintegral
+from scala_timeseries_lib_spark.kernel import merge as kmerge
+from scala_timeseries_lib_spark.kernel import sample as ksample
+from scala_timeseries_lib_spark.operators import series_ops as ops
+from scala_timeseries_lib_spark.operators.entries import fit_entries
+from scala_timeseries_lib_spark.operators.merge import merge_series
+from scala_timeseries_lib_spark.operators.window import sliding_grid_agg
+
+pytestmark = pytest.mark.spark
+
+
+def random_series(rng, n, start=1_000):
+    ts = start + np.cumsum(rng.integers(1, 20, n)).astype(np.int64) * 1000
+    value = rng.integers(0, 5, n).astype(np.float64)
+    validity = rng.integers(1, 25, n).astype(np.int64) * 1000
+    return list(zip(ts.tolist(), value.tolist(), validity.tolist()))
+
+
+def make_df(spark, series_by_key):
+    rows = [
+        (k, int(t), float(v), int(d))
+        for k, entries in series_by_key.items()
+        for t, v, d in entries
+    ]
+    return spark.createDataFrame(rows, "key string, ts long, value double, validity long")
+
+
+def collect_series(df, key):
+    return [
+        (r["ts"], r["value"], r["validity"])
+        for r in df.filter(df.key == key).orderBy("ts").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def series3(spark):
+    rng = np.random.default_rng(11)
+    raw = {f"k{i}": random_series(rng, 40) for i in range(3)}
+    fitted = {k: kfitter.fit(v) for k, v in raw.items()}
+    return raw, fitted, make_df(spark, fitted)
+
+
+class TestFitEntries:
+    def test_matches_kernel(self, spark, series3):
+        raw, fitted, _ = series3
+        df = make_df(spark, raw)
+        got = fit_entries(df, ["key"], compress=True)
+        for k in raw:
+            assert collect_series(got, k) == fitted[k]
+
+
+class TestTrimSlice:
+    def test_slice_matches_kernel_trims(self, spark, series3):
+        _, fitted, df = series3
+        lo, hi = 40_000, 300_000
+        got = ops.slice_series(df, lo, hi)
+        for k, entries in fitted.items():
+            expected = []
+            for ts, v, d in entries:
+                s, e = max(ts, lo), min(ts + d, hi)
+                if s < e:
+                    expected.append((s, v, e - s))
+            assert collect_series(got, k) == expected
+
+    def test_discrete_trims(self, spark, series3):
+        _, fitted, df = series3
+        at = 150_000
+        keep = ops.trim_right_discrete(df, at, include_entry=True)
+        drop = ops.trim_right_discrete(df, at, include_entry=False)
+        for k, entries in fitted.items():
+            assert collect_series(keep, k) == [e for e in entries if e[0] < at]
+            assert collect_series(drop, k) == [
+                e for e in entries if e[0] + e[2] <= at
+            ]
+
+
+class TestSplitAndRollup:
+    def test_split_entries_longer_than(self, spark, series3):
+        _, fitted, df = series3
+        got = ops.split_entries_longer_than(df, 7000)
+        for k, entries in fitted.items():
+            assert collect_series(got, k) == ksample.split_longer_than(entries, 7000)
+
+    def test_split_at_buckets(self, spark, series3):
+        _, fitted, df = series3
+        got = ops.split_at_buckets(df, 60_000)
+        for k, entries in fitted.items():
+            assert [
+                (r["ts"], r["value"], r["validity"])
+                for r in got.filter(got.key == k).orderBy("ts").collect()
+            ] == kbucket.split_at_buckets(entries, 60_000)
+
+    def test_rollup_twmean_matches_kernel(self, spark, series3):
+        _, fitted, df = series3
+        step = 60_000
+        got = ops.rollup_time_weighted(df, ["key"], step)
+        for k, entries in fitted.items():
+            rows = {
+                r["bucket"]: r
+                for r in got.filter(got.key == k).collect()
+            }
+            pieces = kbucket.split_at_buckets(entries, step)
+            by_bucket = {}
+            for ts, v, d in pieces:
+                b = ts - (ts % step)
+                by_bucket.setdefault(b, []).append((ts, v, d))
+            assert set(rows) == set(by_bucket)
+            for b, es in by_bucket.items():
+                wsum = sum(v * d for _, v, d in es)
+                dur = sum(d for _, _, d in es)
+                assert rows[b]["twmean"] == pytest.approx(wsum / dur)
+                assert rows[b]["vmin"] == min(v for _, v, _ in es)
+                assert rows[b]["vmax"] == max(v for _, v, _ in es)
+                assert rows[b]["support_ms"] == dur
+
+    def test_reaggregate_exactness(self, spark, series3):
+        _, fitted, df = series3
+        fine = ops.rollup_time_weighted(df, ["key"], 60_000)
+        coarse_direct = ops.rollup_time_weighted(df, ["key"], 300_000)
+        coarse_re = ops.reaggregate_rollup(fine, ["key"], 300_000)
+        a = {
+            (r["key"], r["bucket"]): (r["twmean"], r["vmin"], r["vmax"], r["support_ms"])
+            for r in coarse_direct.collect()
+        }
+        b = {
+            (r["key"], r["bucket"]): (r["twmean"], r["vmin"], r["vmax"], r["support_ms"])
+            for r in coarse_re.collect()
+        }
+        assert set(a) == set(b)
+        for key in a:
+            assert a[key][0] == pytest.approx(b[key][0], rel=1e-12)
+            assert a[key][1:] == b[key][1:]
+
+
+class TestStepIntegral:
+    def test_matches_kernel(self, spark, series3):
+        _, fitted, df = series3
+        got = ops.step_integral(df, ["key"], "ms")
+        for k, entries in fitted.items():
+            expected = kintegral.step_integral(entries, "ms")
+            got_k = collect_series(got, k)
+            assert [(t, d) for t, _, d in got_k] == [(t, d) for t, _, d in expected]
+            np.testing.assert_allclose(
+                [v for _, v, _ in got_k], [v for _, v, _ in expected], rtol=1e-12
+            )
+
+
+class TestFillAndSample:
+    def test_locf_fill_then_strict_sample_matches_kernel(self, spark, series3):
+        _, fitted, df = series3
+        rate = 5000
+        filled = ops.fill_gaps_locf(df, ["key"])
+        grid = ops.sample_strict_grid(filled, ["key"], rate)
+        for k, entries in fitted.items():
+            k_filled = ksample.fill(entries, None, compress=False)
+            # LOCF: kernel fill with previous value
+            k_filled = []
+            prev = None
+            for ts, v, d in entries:
+                if prev is not None and prev[0] + prev[2] < ts:
+                    k_filled.append((prev[0] + prev[2], prev[1], ts - prev[0] - prev[2]))
+                k_filled.append((ts, v, d))
+                prev = (ts, v, d)
+            expected = ksample.sample(k_filled, entries[0][0], rate, use_closest=False)
+            assert collect_series(grid, k) == expected
+
+
+class TestMerge:
+    @pytest.mark.parametrize("op,kop", [
+        ("plus", kmerge.op_non_strict_plus),
+        ("plus_strict", kmerge.op_strict(lambda a, b: a + b)),
+        ("fallback", kmerge.op_fallback),
+    ])
+    def test_matches_kernel(self, spark, op, kop):
+        rng = np.random.default_rng(23)
+        left = {f"k{i}": kfitter.fit(random_series(rng, 30)) for i in range(3)}
+        right = {f"k{i}": kfitter.fit(random_series(rng, 25)) for i in range(2)}
+        got = merge_series(make_df(spark, left), make_df(spark, right), ["key"], op=op)
+        for k in left:
+            expected = kmerge.merge_entries(left[k], right.get(k, []), kop)
+            assert collect_series(got, k) == expected
+
+
+class TestSlidingGrid:
+    def test_grid_integral_matches_kernel_sweep(self, spark):
+        # hole-free, grid-aligned series (gaps are multiples of the rate, so
+        # the reference's closest-in-window sampling coincides with strict
+        # sampling): grid framing equals the exact sweep
+        rng = np.random.default_rng(5)
+        rate, width = 2000, 8000
+        series = {}
+        for i in range(3):
+            n = 30
+            ts = 2000 + np.cumsum(rng.integers(1, 10, n)).astype(np.int64) * rate
+            validity = np.append(np.diff(ts), rng.integers(1, 10) * rate)
+            value = rng.integers(0, 5, n).astype(float)
+            series[f"k{i}"] = list(zip(ts.tolist(), value.tolist(), validity.tolist()))
+        df = make_df(spark, series)
+        grid = ops.sample_strict_grid(df, ["key"], rate)
+        got = sliding_grid_agg(grid, ["key"], width, rate, agg="integral", timeunit="ms")
+        for k, entries in series.items():
+            expected = kintegral.sliding_integral(entries, width, rate, "ms")
+            got_k = collect_series(got, k)
+            # kernel emits at grid points here (hole-free grid, width = m*rate)
+            assert [(t, d) for t, _, d in got_k] == [(t, d) for t, _, d in expected]
+            np.testing.assert_allclose(
+                [v for _, v, _ in got_k], [v for _, v, _ in expected], rtol=1e-12
+            )
