@@ -252,8 +252,118 @@ def _q_gorilla_roundtrip(spark, sf_dir):
     return entries.groupBy(*KEYS).applyInPandas(_roundtrip, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# webtext queries: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark, sf_dir):
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_minhash_sig(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_knn(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.similarity import knn_bruteforce
+
+    return knn_bruteforce(_embs(spark, sf_dir), query_ids=list(range(8)), k=5)
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.similarity import lsh_buckets
+
+    return lsh_buckets(_embs(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_embs(spark, sf_dir), query_ids=list(range(8)), k=3)
+
+
+def _q_mm_meta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.multimodal import binary_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_sig": _q_minhash_sig,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash": _q_simhash,
+        "text_token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "sim_knn_cosine": _q_knn,
+        "sim_lsh_buckets": _q_lsh_buckets,
+        "sim_ann_lsh_topk": _q_ann_lsh,
+        "mm_binary_meta": _q_mm_meta,
         "ts_entries": _q_entries,
         "ts_slice": _q_slice,
         "ts_fill_locf": _q_fill_locf,
@@ -485,4 +595,226 @@ SELECT user_id, event_type,
 FROM entries GROUP BY user_id, event_type
 """,
         "ts_gorilla_roundtrip": entries_select,
+        **_webtext_oracles(),
+    }
+
+
+def _webtext_oracles() -> dict[str, str]:
+    from scala_timeseries_lib_spark.functions.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from scala_timeseries_lib_spark.functions.text import (
+        FP_MOD,
+        LANG_STOPWORDS,
+        STOPWORDS,
+    )
+
+    h32 = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    shingle_cte = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS shingle
+    FROM toks WHERE len(w) >= 3
+),
+shh AS (SELECT doc_id, {h32.format(x='shingle')} AS h FROM sh),
+nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
+"""
+    minhash_values = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    sig_cte = (
+        shingle_cte
+        + f""",
+params(hash_idx, a, b) AS (VALUES {minhash_values}),
+sig AS (
+    SELECT doc_id, hash_idx,
+           MIN((h * a + b) % {MINHASH_P}) AS minhash
+    FROM shh, params GROUP BY doc_id, hash_idx
+)
+"""
+    )
+    langs = sorted(LANG_STOPWORDS)
+    lang_counts = {
+        lg: "len(list_filter(w, t -> list_contains(["
+        + ", ".join(f"'{x}'" for x in LANG_STOPWORDS[lg])
+        + "], t)))"
+        for lg in langs
+    }
+    lang_case = (
+        "CASE WHEN GREATEST("
+        + ", ".join(f"c_{lg}" for lg in langs)
+        + ") = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN c_{lg} >= GREATEST("
+            + ", ".join(f"c_{other}" for other in langs[i + 1 :])
+            + f") THEN '{lg}'"
+            for i, lg in enumerate(langs[:-1])
+        )
+        + f" ELSE '{langs[-1]}' END"
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    )
+    cos = (
+        f"({dot.format(a='{q}', b='{c}')}) / "
+        f"(sqrt({dot.format(a='{q}', b='{q}')}) * sqrt({dot.format(a='{c}', b='{c}')}))"
+    )
+    plane_w = "(((p * 64 + i - 1) * 1103515245 + 12345) % 2001 - 1000) / 1000.0"
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": shingle_cte
+        + """,
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) AS jaccard
+FROM pairs
+JOIN nsh na ON na.doc_id = doc_a
+JOIN nsh nb ON nb.doc_id = doc_b
+WHERE ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) >= 0.8
+""",
+        "dedup_minhash_sig": sig_cte
+        + "SELECT doc_id, hash_idx, minhash FROM sig",
+        "dedup_minhash_pairs": sig_cte
+        + """,
+buckets AS (
+    SELECT doc_id, hash_idx // 2 AS band,
+           md5(string_agg(hash_idx || ':' || minhash, ','
+               ORDER BY hash_idx || ':' || minhash)) AS bucket
+    FROM sig GROUP BY doc_id, hash_idx // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    AND a.doc_id < b.doc_id
+""",
+        "dedup_simhash": f"""
+WITH wh AS (
+    SELECT doc_id, {h32.format(x='tok')} AS h
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+),
+bitsum AS (
+    SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+    FROM wh, (SELECT UNNEST(generate_series(0, 31)) AS b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+""",
+        "text_token_stats": f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE), 5)
+           AS avg_token_len,
+       ROUND(len(list_filter(w, t -> list_contains([{stop_list}], t)))
+             / CAST(len(w) AS DOUBLE), 5) AS stopword_ratio
+FROM toks
+""",
+        "text_quality": f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+parts AS (
+    SELECT doc_id,
+        CAST(len(w) AS DOUBLE) AS n,
+        len(list_filter(w, t -> list_contains([{stop_list}], t)))
+            / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        (length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE) AS avg_len
+    FROM toks
+)
+SELECT doc_id,
+       ROUND(LEAST(n / 100.0, 1.0) * 0.5 + LEAST(stop_ratio * 5.0, 1.0) * 0.3
+             + LEAST(avg_len / 8.0, 1.0) * 0.2, 5) AS quality
+FROM parts
+""",
+        "text_lang_id": "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), counts AS (SELECT doc_id, "
+        + ", ".join(f"{lang_counts[lg]} AS c_{lg}" for lg in langs)
+        + f" FROM toks) SELECT doc_id, {lang_case} AS pred_lang FROM counts",
+        "text_fingerprint": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(1, len(w)),
+            i -> ({h32.format(x='w[i]')} % {FP_MOD}) * i)) % {FP_MOD} AS BIGINT)
+           AS fingerprint
+FROM toks
+""",
+        "sim_knn_cosine": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 8),
+scored AS (
+    SELECT q.query_id, b.vec_id AS cand_id,
+           ROUND({cos.format(q='q.q_emb', c='b.emb')}, 4) AS sim
+    FROM base b, q WHERE b.vec_id != q.query_id
+)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+        "sim_lsh_buckets": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+proj AS (
+    SELECT vec_id, p,
+           list_sum(list_transform(generate_series(1, len(emb)),
+               i -> emb[i] * ({plane_w}))) AS dotp
+    FROM base, (SELECT UNNEST(generate_series(0, 3)) AS p)
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+""",
+        "sim_ann_lsh_topk": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+proj AS (
+    SELECT vec_id, p,
+           list_sum(list_transform(generate_series(1, len(emb)),
+               i -> emb[i] * ({plane_w}))) AS dotp
+    FROM base, (SELECT UNNEST(generate_series(0, 3)) AS p)
+),
+bk AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+wb AS (SELECT b.vec_id, b.emb, k.bucket FROM base b JOIN bk k USING (vec_id)),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+      FROM wb WHERE vec_id < 8),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           ROUND({cos.format(q='q.q_emb', c='c.emb')}, 4) AS sim
+    FROM wb c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+        "mm_binary_meta": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS fake_height
+FROM documents
+""",
     }

@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Extra fields beyond the driver contract:
+- ``rollup_points_per_sec``: emitted rollup points across the 1m/1h/1d tier
+  pipeline divided by its wall time (the BASELINE.json target metric).
+- with ``SPARK_GRAFT_SCALING=1``: the same tier job at local[8] and
+  local[32] plus scaling efficiency (t8/t32)/4 (the sandbox proxy for N vs
+  4N executors; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def force(df) -> int:
+    """Force full computation of every column (count() alone lets Catalyst
+    prune work); returns the row count."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)],
+    ).collect()[0]
+    return row["n"]
+
+
+def tier_pipeline_points(spark, sf_dir: str):
+    """raw -> 1m -> 1h -> 1d retention tiers; returns emitted points."""
+    import __spark_entry__ as entry_mod
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    entries = entry_mod._entries(spark, sf_dir)
+    tier_1m = ops.rollup_time_weighted(entries, entry_mod.KEYS, 60_000)
+    tier_1m.cache()
+    n_1m = force(tier_1m)
+    tier_1h = ops.reaggregate_rollup(tier_1m, entry_mod.KEYS, entry_mod.HOUR)
+    tier_1h.cache()
+    n_1h = force(tier_1h)
+    tier_1d = ops.reaggregate_rollup(tier_1h, entry_mod.KEYS, entry_mod.DAY)
+    n_1d = force(tier_1d)
+    tier_1m.unpersist()
+    tier_1h.unpersist()
+    return n_1m + n_1h + n_1d
+
+
+def run_bench(master: str, sf_dir: str):
+    from scala_timeseries_lib_spark.plans.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(master=master, shuffle_partitions=32)
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    points = tier_pipeline_points(spark, sf_dir)
+    tier_sec = time.time() - t0
+    timings["tier_pipeline_1m_1h_1d"] = round(tier_sec, 3)
+
+    bench_queries = [
+        "ts_entries",
+        "ts_rollup_1h",
+        "ts_merge_plus",
+        "ts_sample_10m",
+        "ts_sliding_integral_1h",
+        "ts_gorilla_roundtrip",
+        "ts_fill_locf",
+        "ts_step_integral",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    return points, tier_sec, timings
+
+
+def main() -> None:
+    points, tier_sec, timings = run_bench(f"local[{CPUS}]", SF_DIR)
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(SF_DIR),
+        "rollup_points": points,
+        "rollup_points_per_sec": round(points / tier_sec, 1),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for n in (8, 32):
+            t0 = time.time()
+            pts, _sec, _t = run_bench(f"local[{n}]", SF_DIR)
+            scaling[f"local[{n}]"] = {
+                "sec": round(time.time() - t0, 3),
+                "points_per_sec": round(pts / (time.time() - t0), 1),
+            }
+        t8 = scaling["local[8]"]["sec"]
+        t32 = scaling["local[32]"]["sec"]
+        scaling["efficiency_n_to_4n"] = round((t8 / t32) / 4.0, 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

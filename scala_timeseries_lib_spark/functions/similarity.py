@@ -1,0 +1,132 @@
+"""Similarity search over the embeddings table (vec_id, embedding float[],
+label).
+
+- ``knn_bruteforce``: exact cosine top-k for a set of query vectors.
+  The query side is tiny and broadcast; the candidate scan is one pass with
+  a fixed-order fold for the dot product (bit-reproducible in DuckDB).
+  At 100 TB this is the per-query-batch baseline: broadcast Q, scan N.
+- ``lsh_buckets`` / ``ann_lsh_topk``: random-hyperplane LSH. Plane weights
+  are a deterministic integer LCG over (plane, dim), so Spark and SQL build
+  identical planes without shipping data. The ANN path only scores
+  candidates in the query's bucket: the scan becomes a bucket-equi-join
+  (shuffle on the bucket int) instead of a full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_sim", "knn_bruteforce", "lsh_buckets", "ann_lsh_topk",
+           "N_PLANES", "plane_weight_expr"]
+
+N_PLANES = 4
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<double> columns with strict
+    left-to-right folds (reproducible across engines)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def knn_bruteforce(
+    df: DataFrame, query_ids: list[int], k: int = 5, round_to: int = 4
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding itself).
+    Ranking is by (rounded similarity DESC, cand_id ASC) so ties are
+    deterministic and engine-independent."""
+    from pyspark.sql import Window
+
+    base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def plane_weight_expr(plane: int, dim_col):
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    LCG over the flattened (plane, dim) index, identical in SQL."""
+    idx = (F.lit(plane * 64) + dim_col).cast("long")
+    return ((idx * 1103515245 + 12345) % 2001 - 1000) / 1000.0
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = sign(dot(e, plane_j))."""
+    emb = _to_double(F.col("embedding"))
+
+    def _weighted(j):
+        return lambda x, i: x * plane_weight_expr(j, i)
+
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(emb, F.sequence(F.lit(0), F.size(emb) - 1), _weighted(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def ann_lsh_topk(
+    df: DataFrame, query_ids: list[int], k: int = 3, n_planes: int = N_PLANES,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. The candidate join is bucket-equi (shuffle on an int), not a
+    cross product -- the scale path for ANN."""
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(df, n_planes)
+    base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb")).join(
+        buckets, "vec_id"
+    )
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
