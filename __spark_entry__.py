@@ -241,15 +241,14 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         ]
     )
 
+    from scala_timeseries_lib_spark.operators._kernel import apply_per_series
+
     def _roundtrip(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
         ents = list(zip(pdf["ts"], pdf["value"], pdf["validity"]))
         decoded = decompress_tuple_block(compress_tuple_block(ents, compress=False))
-        out = pd.DataFrame(decoded, columns=["ts", "value", "validity"])
-        out["user_id"], out["event_type"] = key
-        return out[["user_id", "event_type", "ts", "value", "validity"]]
+        return pd.DataFrame(decoded, columns=["ts", "value", "validity"])
 
-    return entries.groupBy(*KEYS).applyInPandas(_roundtrip, schema=schema)
+    return apply_per_series(entries, KEYS, _roundtrip, schema)
 
 
 # ---------------------------------------------------------------------------

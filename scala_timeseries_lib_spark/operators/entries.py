@@ -82,19 +82,15 @@ def fit_entries(df: DataFrame, key_cols: list[str], compress: bool = True) -> Da
     import pandas as pd
 
     from ..kernel.fitter import fit_arrays
+    from ._kernel import apply_per_series
 
     out_schema = df.select(*key_cols, *ENTRY_COLS).schema
 
-    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
+    def _fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ts, value, validity = fit_arrays(
             pdf["ts"].to_numpy(), pdf["value"].to_numpy(), pdf["validity"].to_numpy(),
             compress=compress,
         )
-        head = pdf.iloc[:1]
-        out = pd.DataFrame({"ts": ts, "value": value, "validity": validity})
-        for k in key_cols:
-            out[k] = head[k].iloc[0]
-        return out[[*key_cols, *ENTRY_COLS]]
+        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
 
-    return df.groupBy(*key_cols).applyInPandas(_fit, schema=out_schema)
+    return apply_per_series(df, key_cols, _fit, out_schema)

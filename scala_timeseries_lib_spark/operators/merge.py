@@ -55,8 +55,9 @@ def merge_series(
         ]
     )
 
+    from ._kernel import apply_per_series
+
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
         l = pdf[pdf["side"] == 0]
         r = pdf[pdf["side"] == 1]
         ts, value, validity = merge_apply_numeric(
@@ -64,17 +65,14 @@ def merge_series(
             r["ts"].to_numpy(), r["value"].to_numpy(), r["validity"].to_numpy(),
             op=op, compress=compress,
         )
-        out = pd.DataFrame({"ts": ts, "value": value, "validity": validity})
-        for col, val in zip(key_cols, key):
-            out[col] = val
-        return out[[*key_cols, "ts", "value", "validity"]]
+        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
 
-    # union with a side tag + single grouped kernel: one shuffle total, and
-    # it sidesteps Spark's self-cogroup attribute ambiguity when both inputs
-    # share lineage (two filters of the same parent DataFrame)
+    # union with a side tag + single salted grouped kernel: one shuffle
+    # total, and it sidesteps Spark's self-cogroup attribute ambiguity when
+    # both inputs share lineage (two filters of the same parent DataFrame)
     tagged = left.select(
         *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
     ).unionByName(
         right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
-    return tagged.groupBy(*key_cols).applyInPandas(_merge, schema=out_schema)
+    return apply_per_series(tagged, key_cols, _merge, out_schema)

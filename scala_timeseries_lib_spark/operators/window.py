@@ -107,8 +107,9 @@ def sliding_window_exact(
             return cls(timeunit)
         return cls()
 
+    from ._kernel import apply_per_series
+
     def _sweep(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
         entries = list(
             zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
         )
@@ -120,9 +121,6 @@ def sliding_window_exact(
                 out.append((ts, float(a), validity))
         if compress:
             out = fit(out, compress=True)
-        res = pd.DataFrame(out, columns=["ts", "value", "validity"])
-        for col, val in zip(key_cols, key):
-            res[col] = val
-        return res[[*key_cols, "ts", "value", "validity"]]
+        return pd.DataFrame(out, columns=["ts", "value", "validity"])
 
-    return df.groupBy(*key_cols).applyInPandas(_sweep, schema=out_schema)
+    return apply_per_series(df, key_cols, _sweep, out_schema)

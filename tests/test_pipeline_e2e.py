@@ -1,0 +1,168 @@
+"""End-to-end pipeline contracts:
+
+- pages table determinism + byte-identical text extraction per row
+  (BASELINE.json per-row invariant);
+- tier pipeline: incremental updates converge to the same tables as a
+  single full build; checkpoint + lineage recorded; rerun idempotent;
+- streaming append: multi-batch ingestion == one-shot fitting; late data
+  dropped; crashed-epoch rerun idempotent.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_timeseries_lib_spark.operators.entries import derive_entries
+from scala_timeseries_lib_spark.plans.tiers import TierPipeline
+from scala_timeseries_lib_spark.sources.extract import extract_text_py
+from scala_timeseries_lib_spark.sources.pages import pages_table
+from scala_timeseries_lib_spark.streaming.append import AppendStream
+
+pytestmark = pytest.mark.spark
+
+KEYS = ["user_id", "event_type"]
+
+
+def _tbl(df):
+    """Key by (series, bucket); round float aggregates -- full vs incremental
+    aggregation trees differ in partial-sum order (~1e-12 relative)."""
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        key = (r["user_id"], r["event_type"], r["bucket"])
+        assert key not in out
+        out[key] = (
+            round(r["twmean"], 6),
+            r["vmin"],
+            r["vmax"],
+            round(r["integral_s"], 4),
+            r["support_ms"],
+        )
+    return out
+
+
+class TestPages:
+    def test_deterministic_and_byte_identical(self, spark):
+        p1 = pages_table(spark, n_urls=20, snapshots_per_url=6).orderBy("url", "warc_ts")
+        p2 = pages_table(spark, n_urls=20, snapshots_per_url=6).repartition(7).orderBy(
+            "url", "warc_ts"
+        )
+        r1, r2 = p1.collect(), p2.collect()
+        assert len(r1) == len(r2) > 50
+        assert r1 == r2  # identical across partitionings/runs
+        for row in r1[:40]:
+            # per-row invariant: text is the byte-stable extraction of html
+            assert extract_text_py(bytes(row["html"])) == row["text"]
+        # strictly increasing warc_ts per url
+        by_url = {}
+        for row in r1:
+            by_url.setdefault(row["url"], []).append(row["warc_ts"])
+        for ts_list in by_url.values():
+            assert all(a < b for a, b in zip(ts_list, ts_list[1:]))
+
+    def test_domain_skew_exists(self, spark):
+        p = pages_table(spark, n_urls=200, snapshots_per_url=4)
+        counts = (
+            p.select(F.regexp_extract("url", r"site(\d+)", 1).alias("d"))
+            .groupBy("d").count().collect()
+        )
+        sizes = sorted((r["count"] for r in counts), reverse=True)
+        assert sizes[0] > 3 * sizes[-1]  # hot domain
+
+
+class TestTiers:
+    def test_incremental_equals_full(self, spark, tmp_path):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        entries = derive_entries(ev, KEYS, ts_col="ts", value_col="value").cache()
+        cut = entries.approxQuantile("ts", [0.6], 0.01)[0]
+
+        full = TierPipeline(str(tmp_path / "full"), KEYS)
+        full.update(entries, run_id="full")
+
+        inc = TierPipeline(str(tmp_path / "inc"), KEYS)
+        lineage1 = inc.update(entries.filter(F.col("ts") <= cut), run_id="r1")
+        lineage2 = inc.update(entries, run_id="r2")
+        assert lineage1["rows_in"] > 0 and lineage2["rows_in"] > 0
+
+        for tier in ("1m", "1h", "1d"):
+            a = _tbl(full.read_tier(spark, tier))
+            b = _tbl(inc.read_tier(spark, tier))
+            assert a == b, f"tier {tier} diverged"
+
+        ckpt = inc.read_checkpoint()
+        assert ckpt["watermark_ms"] is not None
+        assert [r["run_id"] for r in ckpt["runs"]] == ["r1", "r2"]
+        metrics = spark.read.parquet(inc.metrics_path)
+        assert metrics.count() == 6  # 2 runs x 3 tiers
+        entries.unpersist()
+
+    def test_rerun_idempotent(self, spark, tmp_path):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        entries = derive_entries(ev, KEYS, ts_col="ts", value_col="value")
+        tp = TierPipeline(str(tmp_path / "t"), KEYS)
+        tp.update(entries, run_id="a")
+        before = _tbl(tp.read_tier(spark, "1h"))
+        # simulate a crash-rerun: same input again (watermark already set)
+        tp.update(entries, run_id="a-retry")
+        after = _tbl(tp.read_tier(spark, "1h"))
+        assert before == after
+
+
+class TestStreamingAppend:
+    def _batches(self, spark):
+        rows = [
+            ("k1", 1000, 1.0, 500),
+            ("k1", 2000, 1.0, 1000),   # contiguous equal -> compresses
+            ("k1", 3000, 2.0, 10_000),  # overlaps next batch's first -> trim
+            ("k2", 1000, 5.0, 2000),
+        ]
+        rows2 = [
+            ("k1", 5000, 3.0, 1000),
+            ("k1", 4000, 9.9, 1000),   # LATE (<= pending ts 3000? no, < 5000) kept
+            ("k2", 500, 7.0, 100),     # late vs pending ts 1000 -> dropped
+            ("k2", 4000, 6.0, 1000),
+        ]
+        schema = "key string, ts long, value double, validity long"
+        return (
+            spark.createDataFrame(rows, schema),
+            spark.createDataFrame(rows2, schema),
+        )
+
+    def test_multibatch_equals_oneshot(self, spark, tmp_path):
+        from scala_timeseries_lib_spark.kernel.fitter import fit
+
+        b1, b2 = self._batches(spark)
+        stream = AppendStream(str(tmp_path / "s"), ["key"])
+        m1 = stream.append(b1)
+        m2 = stream.append(b2)
+        assert m2["rows_late_dropped"] == 1
+
+        got = {
+            k: [
+                (r["ts"], r["value"], r["validity"])
+                for r in stream.entries(spark).filter(F.col("key") == k)
+                .orderBy("ts").collect()
+            ]
+            for k in ("k1", "k2")
+        }
+        # oracle: kernel fit over the union (minus the late row)
+        expected_k1 = fit(
+            [(1000, 1.0, 500), (2000, 1.0, 1000), (3000, 2.0, 10_000),
+             (4000, 9.9, 1000), (5000, 3.0, 1000)]
+        )
+        expected_k2 = fit([(1000, 5.0, 2000), (4000, 6.0, 1000)])
+        assert got["k1"] == expected_k1
+        assert got["k2"] == expected_k2
+
+    def test_crash_rerun_idempotent(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        stream = AppendStream(str(tmp_path / "s2"), ["key"])
+        stream.append(b1)
+        stream.append(b2)
+        snapshot = sorted(map(tuple, stream.entries(spark).collect()))
+        # crash after writes but before pointer commit: epoch 1 replays
+        stream._commit_pointer(0)
+        stream.append(b2)
+        assert sorted(map(tuple, stream.entries(spark).collect())) == snapshot
