@@ -251,6 +251,81 @@ def _q_gorilla_roundtrip(spark, sf_dir):
     return apply_per_series(entries, KEYS, _roundtrip, schema)
 
 
+def _ab(spark, sf_dir):
+    entries = _entries(spark, sf_dir)
+    a = entries.filter("event_type = 'click'").drop("event_type")
+    b = entries.filter("event_type = 'view'").drop("event_type")
+    return a, b
+
+
+def _q_append(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.series_ops import append_series
+
+    a, b = _ab(spark, sf_dir)
+    return append_series(a, b, ["user_id"])
+
+
+def _q_prepend(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.series_ops import prepend_series
+
+    a, b = _ab(spark, sf_dir)
+    return prepend_series(a, b, ["user_id"])
+
+
+def _q_slice_discrete(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    df = _entries(spark, sf_dir)
+    return ops.trim_right_discrete(
+        ops.trim_left_discrete(df, SLICE_LO, include_entry=True),
+        SLICE_HI,
+        include_entry=True,
+    )
+
+
+def _q_split_long(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    return ops.split_entries_longer_than(_entries(spark, sf_dir), RATE_10M)
+
+
+def _q_group_entries(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    return ops.group_entries_maxn(_entries(spark, sf_dir), KEYS, 5)
+
+
+def _q_value_stats(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    return ops.value_stats(_entries(spark, sf_dir), KEYS)
+
+
+DYN_START, DYN_STOP = 150.0, 50.0
+
+
+def _q_dynamic_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators.window import dynamic_window_exact
+
+    out = dynamic_window_exact(
+        _entries(spark, sf_dir),
+        KEYS,
+        start_pred=lambda e: e[1] >= DYN_START,
+        stop_pred=lambda e: e[1] < DYN_STOP,
+        agg="mean",
+    )
+    return out.withColumn("value", F.round("value", 5))
+
+
+def _q_sample_closest(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.window import sample_closest
+
+    # closest-in-window look-around has no SQL equivalent: rows-only check
+    return sample_closest(_entries(spark, sf_dir), KEYS, RATE_10M)
+
+
 # ---------------------------------------------------------------------------
 # webtext queries: dedup / text analysis / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -350,6 +425,14 @@ def _q_mm_meta(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ts_append": _q_append,
+        "ts_prepend": _q_prepend,
+        "ts_slice_discrete": _q_slice_discrete,
+        "ts_split_long": _q_split_long,
+        "ts_group_entries": _q_group_entries,
+        "ts_value_stats": _q_value_stats,
+        "ts_dynamic_window": _q_dynamic_window,
+        "ts_sample_closest": _q_sample_closest,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_minhash_sig,
@@ -594,7 +677,109 @@ SELECT user_id, event_type,
 FROM entries GROUP BY user_id, event_type
 """,
         "ts_gorilla_roundtrip": entries_select,
+        **_ts_extra_oracles(),
         **_webtext_oracles(),
+    }
+
+
+def _ts_extra_oracles() -> dict[str, str]:
+    ab_cte = """
+, a AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'click'),
+cuts AS (SELECT user_id, MIN(ts) AS cut FROM entries WHERE event_type = 'view' GROUP BY user_id),
+pcuts AS (SELECT user_id, MAX(ts + validity) AS cut FROM entries WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'view')
+"""
+    return {
+        "ts_append": ENTRIES_CTE + ab_cte
+        + """
+SELECT a.user_id, a.ts, a.value,
+       CASE WHEN c.cut IS NULL THEN a.validity
+            ELSE LEAST(a.validity, c.cut - a.ts) END AS validity
+FROM a LEFT JOIN cuts c USING (user_id)
+WHERE c.cut IS NULL OR a.ts < c.cut
+UNION ALL
+SELECT user_id, ts, value, validity FROM b
+""",
+        "ts_prepend": ENTRIES_CTE + ab_cte
+        + """
+SELECT a.user_id,
+       CASE WHEN c.cut IS NULL THEN a.ts ELSE GREATEST(a.ts, c.cut) END AS ts,
+       a.value,
+       a.ts + a.validity
+         - CASE WHEN c.cut IS NULL THEN a.ts ELSE GREATEST(a.ts, c.cut) END
+           AS validity
+FROM a LEFT JOIN pcuts c USING (user_id)
+WHERE c.cut IS NULL OR a.ts + a.validity > c.cut
+UNION ALL
+SELECT user_id, ts, value, validity FROM b
+""",
+        "ts_slice_discrete": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type, ts, value, validity FROM entries
+WHERE ts + validity > {SLICE_LO} AND ts < {SLICE_HI}
+""",
+        "ts_split_long": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type, p.piece_ts AS ts, value,
+       LEAST({RATE_10M}, ts + validity - p.piece_ts) AS validity
+FROM entries,
+LATERAL (
+    SELECT UNNEST(generate_series(ts, ts + validity - 1, {RATE_10M})) AS piece_ts
+) p
+""",
+        "ts_group_entries": ENTRIES_CTE
+        + """
+, ranked AS (
+    SELECT *, (row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts) - 1) // 5 AS grp
+    FROM entries
+)
+SELECT user_id, event_type, MIN(ts) AS group_start_ts,
+       COUNT(*) AS n_in_group, CAST(SUM(validity) AS BIGINT) AS group_support_ms
+FROM ranked GROUP BY user_id, event_type, grp
+""",
+        "ts_value_stats": ENTRIES_CTE
+        + """
+SELECT user_id, event_type,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       FLOOR(AVG(value) * 100000 + 0.5 + 0.000001) / 100000 AS vmean,
+       FLOOR(COALESCE(stddev_samp(value), 0.0) * 100000 + 0.5 + 0.000001)
+           / 100000 AS vstddev,
+       FLOOR(quantile_cont(value, 0.5) * 100000 + 0.5 + 0.000001) / 100000
+           AS vmedian,
+       COUNT(*) AS n
+FROM entries GROUP BY user_id, event_type
+""",
+        "ts_dynamic_window": ENTRIES_CTE
+        + f"""
+, flagged AS (
+    SELECT *,
+           CASE WHEN value < {DYN_STOP} THEN 1 ELSE 0 END AS stp,
+           CASE WHEN value >= {DYN_START} THEN 1 ELSE 0 END AS strt
+    FROM entries
+),
+seg AS (
+    SELECT *, COALESCE(SUM(stp) OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS seg_id
+    FROM flagged
+),
+w AS (SELECT * FROM seg WHERE stp = 0),
+starts AS (
+    SELECT user_id, event_type, seg_id,
+           MIN(CASE WHEN strt = 1 THEN ts END) AS wstart
+    FROM w GROUP BY user_id, event_type, seg_id
+),
+rows_in AS (
+    SELECT w.*, s.wstart
+    FROM w JOIN starts s USING (user_id, event_type, seg_id)
+    WHERE s.wstart IS NOT NULL AND w.ts >= s.wstart
+)
+SELECT user_id, event_type, wstart AS ts,
+       ROUND(SUM(value * validity) / SUM(validity), 5) AS value,
+       CAST(MAX(ts + validity) - wstart AS BIGINT) AS validity
+FROM rows_in GROUP BY user_id, event_type, wstart
+""",
     }
 
 

@@ -225,6 +225,97 @@ def reaggregate_rollup(
     )
 
 
+def append_series(
+    left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """``left.append(right)``: the right side wins from its first timestamp
+    on; the left is trimmed (split) at that point (TimeSeries.scala:226-230).
+    Keys missing on the right pass the left through. Pure JVM: one
+    broadcast-joinable aggregate + filters + union."""
+    cuts = right.groupBy(*key_cols).agg(F.min("ts").alias("_cut"))
+    trimmed = (
+        left.join(F.broadcast(cuts), key_cols, "left")
+        .filter(F.col("_cut").isNull() | (F.col("ts") < F.col("_cut")))
+        .withColumn(
+            "validity",
+            F.when(
+                F.col("_cut").isNotNull(),
+                F.least(F.col("validity"), F.col("_cut") - F.col("ts")),
+            ).otherwise(F.col("validity")),
+        )
+        .drop("_cut")
+    )
+    return trimmed.select(*key_cols, "ts", "value", "validity").unionByName(
+        right.select(*key_cols, "ts", "value", "validity")
+    )
+
+
+def prepend_series(
+    left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """``left.prepend(right)``: the right side wins until its domain ends;
+    the left's overlap is cut away (TimeSeries.scala:242-246)."""
+    cuts = right.groupBy(*key_cols).agg(
+        F.max(F.col("ts") + F.col("validity")).alias("_cut")
+    )
+    trimmed = (
+        left.join(F.broadcast(cuts), key_cols, "left")
+        .filter(
+            F.col("_cut").isNull() | (F.col("ts") + F.col("validity") > F.col("_cut"))
+        )
+        .withColumn(
+            "_new_ts",
+            F.when(
+                F.col("_cut").isNotNull(), F.greatest(F.col("ts"), F.col("_cut"))
+            ).otherwise(F.col("ts")),
+        )
+        .withColumn("validity", F.col("ts") + F.col("validity") - F.col("_new_ts"))
+        .drop("ts", "_cut")
+        .withColumnRenamed("_new_ts", "ts")
+    )
+    return trimmed.select(*key_cols, "ts", "value", "validity").unionByName(
+        right.select(*key_cols, "ts", "value", "validity")
+    )
+
+
+def group_entries_maxn(df: DataFrame, key_cols: list[str], max_n: int) -> DataFrame:
+    """Chunk each series into groups of <= max_n entries keyed by the first
+    entry's timestamp (TimeSeries.scala:579-586). Output: one row per group
+    with its start ts and size. Pure JVM window."""
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    grouped = df.withColumn(
+        "grp", ((F.row_number().over(w) - 1) / max_n).cast("long")
+    )
+    return grouped.groupBy(*key_cols, "grp").agg(
+        F.min("ts").alias("group_start_ts"),
+        F.count(F.lit(1)).alias("n_in_group"),
+        F.sum("validity").alias("group_support_ms"),
+    ).drop("grp")
+
+
+def value_stats(df: DataFrame, key_cols: list[str], round_to: int = 5) -> DataFrame:
+    """Per-series value statistics matching the reference Stats snapshot
+    (stats/ThreadUnsafeDoubleUniformReservoir.scala:94-147, computed exactly
+    instead of reservoir-sampled): min, max, mean, sample stddev (n-1),
+    linear-interpolated median."""
+    # epsilon-biased half-up rounding: plain round() ties (exact .5 at the
+    # last digit, common when averaging 2-decimal values) resolve
+    # differently across engines
+    scale = float(10**round_to)
+
+    def r5(col):
+        return F.floor(col * scale + 0.5 + 1e-6) / scale
+
+    return df.groupBy(*key_cols).agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        r5(F.avg("value")).alias("vmean"),
+        r5(F.coalesce(F.stddev_samp("value"), F.lit(0.0))).alias("vstddev"),
+        r5(F.expr("percentile(value, 0.5)")).alias("vmedian"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def series_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-series metadata: loose domain, support ratio, size, continuity
     (TimeSeries.scala:510-545)."""

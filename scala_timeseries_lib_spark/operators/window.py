@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["sliding_grid_agg", "sliding_window_exact"]
+__all__ = [
+    "sliding_grid_agg",
+    "sliding_window_exact",
+    "dynamic_window_exact",
+    "sample_closest",
+]
 
 
 def sliding_grid_agg(
@@ -124,3 +129,93 @@ def sliding_window_exact(
         return pd.DataFrame(out, columns=["ts", "value", "validity"])
 
     return apply_per_series(df, key_cols, _sweep, out_schema)
+
+
+def dynamic_window_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    start_pred,
+    stop_pred,
+    agg: str = "mean",
+    timeunit: str = "ms",
+) -> DataFrame:
+    """Predicate-delimited windows (WindowSlider.scala:286-319): a window
+    opens at the first entry where ``start and not stop`` holds and extends
+    up to (excluding) the next entry where ``stop`` holds; one output entry
+    per window spanning its loose domain.
+
+    ``start_pred``/``stop_pred`` are Python callables over a (ts, value,
+    validity) tuple, evaluated in the kernel. Relational equivalents (flag +
+    cumulative-stop-count sessionization) exist for column predicates -- the
+    ts_dynamic_window oracle in __spark_entry__ shows the SQL shape.
+    """
+    import pandas as pd
+
+    from ..kernel import window as kwin
+    from ._kernel import apply_per_series
+
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+
+    def make_agg():
+        cls = getattr(kwin, _AGG_FACTORIES[agg])
+        return cls(timeunit) if agg == "integral" else cls()
+
+    def _dyn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        entries = list(
+            zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
+        )
+        out = kwin.dynamic_window(entries, start_pred, stop_pred, make_agg)
+        return pd.DataFrame(
+            [(t, float(v), d) for t, v, d in out],
+            columns=["ts", "value", "validity"],
+        )
+
+    return apply_per_series(df, key_cols, _dyn, out_schema)
+
+
+def sample_closest(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: int,
+    compress: bool = False,
+) -> DataFrame:
+    """Closest-in-window sampling (TimeSeries.scala:598-646,
+    useClosestInWindow=true): at each grid point ``first_ts + k*rate`` take
+    the value of the entry starting closest to the point within
+    ``[p - rate/2, p + rate/2)``, falling back to the entry defined at the
+    point. The look-around rule has no relational equivalent, so this runs
+    the exact kernel per series."""
+    import pandas as pd
+
+    from ..kernel.fitter import fit
+    from ..kernel.sample import sample
+    from ._kernel import apply_per_series
+
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+
+    def _sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        entries = list(
+            zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
+        )
+        out = sample(entries, entries[0][0], rate, use_closest=True)
+        if compress:
+            out = fit(out, compress=True)
+        return pd.DataFrame(out, columns=["ts", "value", "validity"])
+
+    return apply_per_series(df, key_cols, _sample, out_schema)
