@@ -320,10 +320,13 @@ def _q_dynamic_window(spark, sf_dir):
 
 
 def _q_sample_closest(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
     from scala_timeseries_lib_spark.operators.window import sample_closest
 
-    # closest-in-window look-around has no SQL equivalent: rows-only check
-    return sample_closest(_entries(spark, sf_dir), KEYS, RATE_10M)
+    # closest-in-window look-around has no SQL equivalent: rows-only check;
+    # sliced to 3 days to keep the sampled grid a sane size
+    sliced = ops.slice_series(_entries(spark, sf_dir), SLIDE_LO, SLIDE_HI)
+    return sample_closest(sliced, KEYS, RATE_10M)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,6 @@ def apply_per_series(
         n_buckets = max(sc.defaultParallelism * 4, 16)
 
     out_names = [f.name for f in out_schema.fields]
-    val_names = out_names[len(key_cols):]
 
     def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
