@@ -186,9 +186,17 @@ def rollup_time_weighted(
     be computed from finer ones without revisiting raw data.
 
     Output: key_cols + bucket, twmean, vmin, vmax, integral_s, support_ms, n_pieces.
-    One shuffle (hash aggregation after the JVM-side explode); partial
-    aggregation (map-side combine) applies since it's a plain groupBy.
+
+    Physical shape: the compact input is repartitioned on the series key to
+    full parallelism BEFORE the explode -- AQE happily coalesces the small
+    pre-explode data into a handful of partitions, which would serialize the
+    60x-amplified Generate + aggregation. Hash partitioning on the key
+    satisfies the (key, bucket) group clustering, so the aggregation itself
+    runs shuffle-free on the exploded rows (verify with .explain: Generate ->
+    partial+final HashAggregate, no Exchange in between).
     """
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism * 2, *key_cols)
     pieces = split_at_buckets(df, step, origin)
     agg = pieces.groupBy(*key_cols, "bucket").agg(
         (F.sum(F.col("value") * F.col("validity")) / F.sum("validity")).alias("twmean"),
