@@ -323,10 +323,72 @@ def _q_sample_closest(spark, sf_dir):
     from scala_timeseries_lib_spark.operators import series_ops as ops
     from scala_timeseries_lib_spark.operators.window import sample_closest
 
-    # closest-in-window look-around has no SQL equivalent: rows-only check;
     # sliced to 3 days to keep the sampled grid a sane size
     sliced = ops.slice_series(_entries(spark, sf_dir), SLIDE_LO, SLIDE_HI)
     return sample_closest(sliced, KEYS, RATE_10M)
+
+
+def _q_merge_minus(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.merge import merge_series
+
+    a, b = _ab(spark, sf_dir)
+    return merge_series(a, b, ["user_id"], op="minus_strict")
+
+
+def _q_merge_multiply(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.merge import merge_series
+
+    a, b = _ab(spark, sf_dir)
+    return merge_series(a, b, ["user_id"], op="multiply_strict")
+
+
+def _q_merge3_sum(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.merge import merge_series_n
+
+    entries = _entries(spark, sf_dir)
+    sides = [
+        entries.filter(f"event_type = '{et}'").drop("event_type")
+        for et in ("click", "view", "purchase")
+    ]
+    return merge_series_n(sides, ["user_id"], op="plus")
+
+
+def _q_sliding_min_1h(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.window import sliding_grid_agg
+
+    grid = _sampled_filled(spark, sf_dir)
+    return sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="min")
+
+
+def _q_sliding_max_1h(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.window import sliding_grid_agg
+
+    grid = _sampled_filled(spark, sf_dir)
+    return sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="max")
+
+
+def _q_sliding_std_1h(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators.window import sliding_grid_agg
+
+    grid = _sampled_filled(spark, sf_dir)
+    out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="std")
+    return out.withColumn("value", F.round("value", 5))
+
+
+MAP_FILTER_THRESHOLD = 50.0
+
+
+def _q_map_filter(spark, sf_dir):
+    """map/filter family (TimeSeries.scala:98-152): pure Catalyst column
+    expressions -- filter keeps domains, map transforms values."""
+    from pyspark.sql import functions as F
+
+    entries = _entries(spark, sf_dir)
+    return entries.filter(F.col("value") >= MAP_FILTER_THRESHOLD).withColumn(
+        "value", F.round(F.col("value") * 1.5 + 1.0, 5)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,6 +477,14 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_embs(spark, sf_dir), query_ids=list(range(8)), k=3)
 
 
+def _q_emb_neardup(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
 def _q_mm_meta(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -436,6 +506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_value_stats": _q_value_stats,
         "ts_dynamic_window": _q_dynamic_window,
         "ts_sample_closest": _q_sample_closest,
+        "ts_merge_minus": _q_merge_minus,
+        "ts_merge_multiply": _q_merge_multiply,
+        "ts_merge3_sum": _q_merge3_sum,
+        "ts_sliding_min_1h": _q_sliding_min_1h,
+        "ts_sliding_max_1h": _q_sliding_max_1h,
+        "ts_sliding_std_1h": _q_sliding_std_1h,
+        "ts_map_filter": _q_map_filter,
+        "dedup_emb_cosine": _q_emb_neardup,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_minhash_sig,
@@ -503,6 +581,123 @@ merged AS (
     SELECT user_id, lo, hi, {op_case} AS value
     FROM vals
     WHERE ({where})
+),
+islands AS (
+    SELECT user_id, lo, hi, value,
+           CASE WHEN LAG(hi) OVER w = lo AND LAG(value) OVER w = value
+                THEN 0 ELSE 1 END AS brk
+    FROM merged
+    WINDOW w AS (PARTITION BY user_id ORDER BY lo)
+),
+grp AS (
+    SELECT user_id, lo, hi, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY lo) AS island
+    FROM islands
+)
+SELECT user_id, MIN(lo) AS ts, value, CAST(MAX(hi) - MIN(lo) AS BIGINT) AS validity
+FROM grp
+GROUP BY user_id, island, value
+"""
+
+
+def _sample_closest_sql() -> str:
+    """Declarative restatement of the closest-in-window sampler
+    (TimeSeries.scala:601-646, kernel.sample.sample): at each grid point p
+    the emitted entry is the FIRST (in series order) entry e with
+    ``e.ts <= p + rate/2`` satisfying its take rule --
+    last entry: still defined at p;
+    other entries: (defined at p AND next.ts beyond p + rate/2) OR
+    strictly closer start than the next entry's.
+    The sequential cursor of the reference never revisits an entry whose
+    take rule once failed for a grid point (distance to the successor is
+    monotone in p), so first-eligible-in-order equals the cursor's pick.
+    """
+    half = RATE_10M // 2
+    return f"""
+{ENTRIES_CTE},
+sliced AS (
+    SELECT user_id, event_type,
+           GREATEST(ts, {SLIDE_LO}) AS ts, value,
+           LEAST(ts + validity, {SLIDE_HI}) - GREATEST(ts, {SLIDE_LO}) AS validity
+    FROM entries
+    WHERE ts < {SLIDE_HI} AND ts + validity > {SLIDE_LO}
+),
+ent AS (
+    SELECT user_id, event_type, ts, value,
+           ts + validity AS until,
+           LEAD(ts) OVER w AS nxt,
+           ROW_NUMBER() OVER w AS j,
+           MIN(ts) OVER (PARTITION BY user_id, event_type) AS start,
+           MAX(ts + validity) OVER (PARTITION BY user_id, event_type) AS dend
+    FROM sliced
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+grid AS (
+    SELECT DISTINCT user_id, event_type,
+           UNNEST(generate_series(start, dend - 1, {RATE_10M})) AS p
+    FROM ent
+),
+elig AS (
+    SELECT g.user_id, g.event_type, g.p, e.value, e.j
+    FROM grid g
+    JOIN ent e ON e.user_id = g.user_id AND e.event_type = g.event_type
+    WHERE e.ts <= g.p + {half}
+      AND CASE WHEN e.nxt IS NULL THEN g.p < e.until
+               ELSE (g.p < e.until AND e.nxt > g.p + {half})
+                    OR ABS(e.ts - g.p) < ABS(e.nxt - g.p) END
+),
+pick AS (
+    SELECT user_id, event_type, p, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type, p
+                              ORDER BY j) AS rn
+    FROM elig
+)
+SELECT user_id, event_type, p AS ts, value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM pick WHERE rn = 1
+"""
+
+
+def _merge3_sql() -> str:
+    """3-ary non-strict sum merge (TimeSeriesMerger.scala:64-79): boundary
+    union of three series, per-segment sum of the defined slots, islands
+    compression -- same construction as _merge_sql with a third side."""
+    return f"""
+{ENTRIES_CTE},
+a AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'purchase'),
+bounds AS (
+    SELECT user_id, p FROM (
+        SELECT user_id, ts AS p FROM a
+        UNION SELECT user_id, ts + validity FROM a
+        UNION SELECT user_id, ts AS p FROM b
+        UNION SELECT user_id, ts + validity FROM b
+        UNION SELECT user_id, ts AS p FROM c
+        UNION SELECT user_id, ts + validity FROM c
+    )
+),
+segs AS (
+    SELECT user_id, p AS lo, LEAD(p) OVER (PARTITION BY user_id ORDER BY p) AS hi
+    FROM bounds
+),
+vals AS (
+    SELECT s.user_id, s.lo, s.hi,
+           av.value AS a_val, bv.value AS b_val, cv.value AS c_val
+    FROM segs s
+    LEFT JOIN a av ON av.user_id = s.user_id
+        AND s.lo >= av.ts AND s.lo < av.ts + av.validity
+    LEFT JOIN b bv ON bv.user_id = s.user_id
+        AND s.lo >= bv.ts AND s.lo < bv.ts + bv.validity
+    LEFT JOIN c cv ON cv.user_id = s.user_id
+        AND s.lo >= cv.ts AND s.lo < cv.ts + cv.validity
+    WHERE s.hi IS NOT NULL
+),
+merged AS (
+    SELECT user_id, lo, hi,
+           COALESCE(a_val, 0) + COALESCE(b_val, 0) + COALESCE(c_val, 0) AS value
+    FROM vals
+    WHERE a_val IS NOT NULL OR b_val IS NOT NULL OR c_val IS NOT NULL
 ),
 islands AS (
     SELECT user_id, lo, hi, value,
@@ -647,9 +842,16 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
         "ts_merge_strict_plus": _merge_sql(
             "a_val + b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
         ),
+        "ts_merge_minus": _merge_sql(
+            "a_val - b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
+        ),
+        "ts_merge_multiply": _merge_sql(
+            "a_val * b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
+        ),
         "ts_fallback": _merge_sql(
             "COALESCE(a_val, b_val)", "a_val IS NOT NULL OR b_val IS NOT NULL"
         ),
+        "ts_merge3_sum": _merge3_sql(),
         "ts_sliding_integral_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,
@@ -670,6 +872,40 @@ FROM sampled
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
              RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)
 """,
+        "ts_sliding_min_1h": ENTRIES_CTE + filled_cte + sample_cte
+        + f"""
+SELECT user_id, event_type, ts, MIN(value) OVER w AS value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM sampled
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+             RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)
+""",
+        "ts_sliding_max_1h": ENTRIES_CTE + filled_cte + sample_cte
+        + f"""
+SELECT user_id, event_type, ts, MAX(value) OVER w AS value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM sampled
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+             RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)
+""",
+        "ts_sliding_std_1h": ENTRIES_CTE + filled_cte + sample_cte
+        + f"""
+SELECT user_id, event_type, ts,
+       ROUND(SQRT(GREATEST(
+           SUM(value * value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w
+           - POW(SUM(value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w, 2),
+           0.0)), 5) AS value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM sampled
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+             RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)
+""",
+        "ts_map_filter": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type, ts, ROUND(value * 1.5 + 1.0, 5) AS value, validity
+FROM entries WHERE value >= {MAP_FILTER_THRESHOLD}
+""",
+        "ts_sample_closest": _sample_closest_sql(),
         "ts_series_stats": ENTRIES_CTE
         + """
 SELECT user_id, event_type,
@@ -995,6 +1231,28 @@ SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
                                  ORDER BY sim DESC, cand_id) AS rank
     FROM scored
 ) WHERE rank <= 3
+""",
+        "dedup_emb_cosine": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+proj AS (
+    SELECT vec_id, p,
+           list_sum(list_transform(generate_series(1, len(emb)),
+               i -> emb[i] * ({plane_w}))) AS dotp
+    FROM base, (SELECT UNNEST(generate_series(0, 3)) AS p)
+),
+bk AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+wb AS (SELECT b.vec_id, b.emb, k.bucket FROM base b JOIN bk k USING (vec_id)),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cos.format(q='a.emb', c='b.emb')}, 4) AS sim
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
 """,
         "mm_binary_meta": """
 SELECT doc_id,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_sim", "knn_bruteforce", "lsh_buckets", "ann_lsh_topk",
-           "N_PLANES", "plane_weight_expr"]
+           "embedding_neardup_pairs", "N_PLANES", "plane_weight_expr"]
 
 N_PLANES = 4
 
@@ -95,6 +95,46 @@ def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     for b in bits[1:]:
         bucket = bucket + b
     return df.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = N_PLANES,
+    block_lsh: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    ``sim >= threshold`` and ``vec_a < vec_b``.
+
+    ``block_lsh=True`` is the scale path: candidates must share a
+    random-hyperplane LSH bucket, turning the O(n^2) cross product into a
+    bucket-equi self-join (shuffle on an int key; bucket sizes ~ n/2^planes,
+    so pair work drops by ~2^planes at a known recall cost -- the standard
+    SimHash/LSH dedup blocking trade). ``block_lsh=False`` is the exact
+    all-pairs baseline for small n.
+    """
+    base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    if block_lsh:
+        buckets = lsh_buckets(df, n_planes)
+        base = base.join(buckets, "vec_id")
+        a = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+        )
+        b = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+        )
+        pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        a = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+        b = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= threshold)
 
 
 def ann_lsh_topk(

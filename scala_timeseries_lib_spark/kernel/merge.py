@@ -27,6 +27,7 @@ __all__ = [
     "merge_entries",
     "merge_entries_n",
     "merge_apply_numeric",
+    "merge_apply_numeric_n",
     "op_strict",
     "op_non_strict_plus",
     "op_non_strict_minus",
@@ -205,3 +206,51 @@ def merge_apply_numeric(
     from .fitter import fit_arrays
 
     return fit_arrays(lo[keep], res[keep], (hi - lo)[keep], compress=compress)
+
+
+def merge_apply_numeric_n(sides, op: str, compress: bool = True):
+    """Vectorized n-ary merge (TimeSeriesMerger.scala:64-79 generalized to
+    k sides) for float64 values.
+
+    ``sides`` is a list of ``(ts, value, validity)`` array triples.
+    ``op``: ``plus`` (non-strict sum of the defined slots; hole only where
+    every side is undefined) or ``plus_strict`` (defined only where all
+    sides are defined). Same boundary-union construction as the binary
+    kernel: O(total log total), no Python per-segment loop.
+    """
+    tss = [np.asarray(t, np.int64) for t, _v, _d in sides]
+    vals = [np.asarray(v, np.float64) for _t, v, _d in sides]
+    durs = [np.asarray(d, np.int64) for _t, _v, d in sides]
+    if all(t.size == 0 for t in tss):
+        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
+
+    pts = np.unique(
+        np.concatenate([np.concatenate([t, t + d]) for t, d in zip(tss, durs)])
+    )
+    lo, hi = pts[:-1], pts[1:]
+
+    def side(ts, val, validity):
+        if ts.size == 0:
+            return np.zeros(lo.size, bool), np.zeros(lo.size, np.float64)
+        idx = np.searchsorted(ts, lo, side="right") - 1
+        ok = idx >= 0
+        idxc = np.clip(idx, 0, ts.size - 1)
+        defined = ok & (lo < ts[idxc] + validity[idxc])
+        return defined, np.where(defined, val[idxc], 0.0)
+
+    defined = np.zeros((len(sides), lo.size), bool)
+    values = np.zeros((len(sides), lo.size), np.float64)
+    for i, (t, v, d) in enumerate(zip(tss, vals, durs)):
+        defined[i], values[i] = side(t, v, d)
+
+    total = values.sum(axis=0)
+    n_def = defined.sum(axis=0)
+    if op == "plus":
+        keep = n_def > 0
+    elif op == "plus_strict":
+        keep = n_def == len(sides)
+    else:
+        raise ValueError(f"unknown n-ary op {op!r}")
+    from .fitter import fit_arrays
+
+    return fit_arrays(lo[keep], total[keep], (hi - lo)[keep], compress=compress)

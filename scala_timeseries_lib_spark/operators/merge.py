@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["merge_series", "NUMERIC_OPS"]
+__all__ = ["merge_series", "merge_series_n", "NUMERIC_OPS"]
 
 NUMERIC_OPS = ("plus", "plus_strict", "minus_strict", "multiply_strict", "fallback")
 
@@ -75,4 +75,53 @@ def merge_series(
     ).unionByName(
         right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
+    return apply_per_series(tagged, key_cols, _merge, out_schema)
+
+
+def merge_series_n(
+    dfs: list[DataFrame],
+    key_cols: list[str],
+    op: str = "plus",
+    compress: bool = True,
+) -> DataFrame:
+    """K-ary interval merge (TimeSeriesMerger.scala:64-79 generalized):
+    merge k entries tables series-by-series in one pass over the boundary
+    union, instead of chaining k-1 binary merges (which would re-fit and
+    re-shuffle at every step).
+
+    ``op``: ``plus`` (non-strict sum of defined slots) or ``plus_strict``
+    (defined only where all k sides are). One shuffle total: all sides are
+    unioned with a side tag and grouped once.
+    """
+    import pandas as pd
+
+    from ..kernel.merge import merge_apply_numeric_n
+
+    n_sides = len(dfs)
+    key_fields = [dfs[0].schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+
+    from ._kernel import apply_per_series
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = []
+        for i in range(n_sides):
+            s = pdf[pdf["side"] == i]
+            sides.append(
+                (s["ts"].to_numpy(), s["value"].to_numpy(), s["validity"].to_numpy())
+            )
+        ts, value, validity = merge_apply_numeric_n(sides, op=op, compress=compress)
+        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
+
+    tagged = None
+    for i, df in enumerate(dfs):
+        part = df.select(*key_cols, "ts", "value", "validity", F.lit(i).alias("side"))
+        tagged = part if tagged is None else tagged.unionByName(part)
     return apply_per_series(tagged, key_cols, _merge, out_schema)

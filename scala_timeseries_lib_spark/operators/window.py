@@ -43,7 +43,8 @@ def sliding_grid_agg(
     grid entries with ``ts > t - window_width - rate`` (reference removal
     rule, WindowSlider.scala:226-228).
 
-    ``agg``: integral | mean (time-weighted) | sum | min | max.
+    ``agg``: integral | mean (time-weighted) | std (time-weighted biased,
+    BasicAggregators.scala:71-96) | sum | min | max.
     """
     from ..kernel.integral import seconds_factor
 
@@ -58,6 +59,10 @@ def sliding_grid_agg(
         expr = F.sum(v * d * F.lit(f)).over(w)
     elif agg == "mean":
         expr = F.sum(v * d).over(w) / F.sum(d).over(w)
+    elif agg == "std":
+        m1 = F.sum(v * d).over(w) / F.sum(d).over(w)
+        m2 = F.sum(v * v * d).over(w) / F.sum(d).over(w)
+        expr = F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0)))
     elif agg == "sum":
         expr = F.sum(v).over(w)
     elif agg == "min":

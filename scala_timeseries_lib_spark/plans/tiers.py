@@ -13,7 +13,7 @@ affected buckets, and overwrites those bucket partitions idempotently
 (dynamic partition overwrite). The checkpoint stores per-partition
 watermarks + row/byte lineage metrics; a killed job rerun from the same
 checkpoint produces byte-identical tables (pinned by
-tests/test_tiers_resume.py).
+tests/test_pipeline_e2e.py).
 
 Scale: writes are partitioned by (day, key-hash bucket) -- the salted
 (url-bucket, time-bucket) scheme from the north rule -- so hot domains

@@ -218,3 +218,70 @@ class TestSlidingGrid:
             np.testing.assert_allclose(
                 [v for _, v, _ in got_k], [v for _, v, _ in expected], rtol=1e-12
             )
+
+
+class TestMergeN:
+    def test_nary_matches_generic_kernel(self, spark):
+        from scala_timeseries_lib_spark.operators.merge import merge_series_n
+
+        rng = np.random.default_rng(31)
+        sides = [
+            {f"k{i}": kfitter.fit(random_series(rng, 20 + 5 * s)) for i in range(3)}
+            for s in range(3)
+        ]
+
+        def op_sum_non_strict(vals):
+            defined = [v for v in vals if v is not None]
+            return sum(defined) if defined else None
+
+        got = merge_series_n(
+            [make_df(spark, s) for s in sides], ["key"], op="plus"
+        )
+        for k in sides[0]:
+            expected = kmerge.merge_entries_n(
+                [s.get(k, []) for s in sides], op_sum_non_strict
+            )
+            assert collect_series(got, k) == expected
+
+    def test_vectorized_nary_matches_generic(self):
+        rng = np.random.default_rng(37)
+        sides = [kfitter.fit(random_series(rng, 25)) for _ in range(4)]
+
+        def op_sum_strict(vals):
+            if any(v is None for v in vals):
+                return None
+            return sum(vals)
+
+        for op_name, op_fn in [
+            ("plus", lambda vs: sum(v for v in vs if v is not None)
+             if any(v is not None for v in vs) else None),
+            ("plus_strict", op_sum_strict),
+        ]:
+            ts, val, dur = kmerge.merge_apply_numeric_n(
+                [(np.array([e[0] for e in s]), np.array([e[1] for e in s]),
+                  np.array([e[2] for e in s])) for s in sides],
+                op=op_name,
+            )
+            expected = kmerge.merge_entries_n(sides, op_fn)
+            assert list(zip(ts.tolist(), val.tolist(), dur.tolist())) == expected
+
+
+class TestSlidingStd:
+    def test_grid_std_matches_numpy(self, spark):
+        # uniform grid: time-weighted biased std reduces to plain biased std
+        # over the window rows (StdAggregator, BasicAggregators.scala:71-96)
+        rng = np.random.default_rng(41)
+        rate, width = 1000, 4000
+        n = 50
+        ts = np.arange(n, dtype=np.int64) * rate + 5000
+        value = rng.normal(10, 3, n)
+        series = {"k0": list(zip(ts.tolist(), value.tolist(), [rate] * n))}
+        df = make_df(spark, series)
+        got = collect_series(
+            sliding_grid_agg(df, ["key"], width, rate, agg="std"), "k0"
+        )
+        rows_back = (width + rate - 1) // rate  # window frame row span
+        for i, (t, v, _) in enumerate(got):
+            lo = max(0, i - rows_back)
+            w = value[lo : i + 1]
+            assert abs(v - float(np.std(w))) < 1e-9, (i, t)
