@@ -61,6 +61,13 @@ def apply_per_series(
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
     )
+    # pin the kernel stage's parallelism: the cost here is Python CPU per
+    # row, not shuffle bytes, so AQE's size-based coalescing (which would
+    # happily squash a few-MB shuffle into ONE partition and serialize the
+    # whole Arrow stage) must not apply. A user-numbered repartition is
+    # never coalesced by AQE; groupBy reuses its hash distribution, so no
+    # second exchange appears.
+    salted = salted.repartition(n_buckets, "_salt")
     return salted.groupBy("_salt").applyInPandas(
         lambda pdf: _bucket(pdf.drop(columns=["_salt"])), schema=out_schema
     )

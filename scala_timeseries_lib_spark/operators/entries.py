@@ -56,6 +56,10 @@ def derive_entries(
     )
     dedup_w = Window.partitionBy(*key_cols, "ts").orderBy(F.desc("value"))
     series_w = Window.partitionBy(*key_cols).orderBy("ts")
+    # one shuffle, not two: hash partitioning on the key alone satisfies the
+    # dedup window's (key, ts) clustering AND the lead window's (key)
+    # clustering, so both run as sorts over the same exchange
+    base = base.repartition(*key_cols)
     return (
         base.withColumn("rn", F.row_number().over(dedup_w))
         .filter(F.col("rn") == 1)

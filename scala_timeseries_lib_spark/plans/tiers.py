@@ -6,13 +6,14 @@ points carrying reaggregatable sufficient statistics, so every coarser tier
 is computed from the previous tier without touching raw data
 (wsum/dur/min/max are associative).
 
-Incremental maintenance: each run processes only entries with
-``ts >= watermark - step`` (one-bucket overlap because a late-arriving
-entry can extend the last, still-open bucket), recomputes exactly the
-affected buckets, and overwrites those bucket partitions idempotently
-(dynamic partition overwrite). The checkpoint stores per-partition
-watermarks + row/byte lineage metrics; a killed job rerun from the same
-checkpoint produces byte-identical tables (pinned by
+Incremental maintenance: each run processes, per key-salt partition, only
+entries whose domain reaches past that partition's checkpointed watermark
+minus one full day of overlap (a late-arriving entry can extend the last,
+still-open bucket), recomputes exactly the affected day partitions, and
+overwrites them idempotently (dynamic partition overwrite). The checkpoint
+stores PER-SALT-PARTITION watermarks; lineage row/byte metrics are emitted
+per (day, salt) output partition to a side table. A killed job rerun from
+the same checkpoint produces byte-identical tables (pinned by
 tests/test_pipeline_e2e.py).
 
 Scale: writes are partitioned by (day, key-hash bucket) -- the salted
@@ -73,8 +74,16 @@ class TierPipeline:
     def read_checkpoint(self) -> dict:
         if os.path.exists(self.checkpoint_path):
             with open(self.checkpoint_path) as fh:
-                return json.load(fh)
-        return {"watermark_ms": None, "runs": []}
+                ckpt = json.load(fh)
+            # migrate pre-per-partition checkpoints (single global watermark)
+            if "watermarks" not in ckpt:
+                wm = ckpt.pop("watermark_ms", None)
+                ckpt["watermarks"] = (
+                    {} if wm is None
+                    else {str(s): wm for s in range(self.n_salt)}
+                )
+            return ckpt
+        return {"watermarks": {}, "runs": []}
 
     def _commit_checkpoint(self, ckpt: dict) -> None:
         tmp = self.checkpoint_path + ".tmp"
@@ -94,9 +103,11 @@ class TierPipeline:
     def update(self, entries: DataFrame, run_id: str | None = None) -> dict:
         """Process new entries incrementally; returns the lineage record.
 
-        ``entries`` is the full entries table (or a stream batch); rows at or
-        above ``watermark - max_step`` are (re)processed. Overwrites only the
-        affected day partitions, so reruns are idempotent.
+        ``entries`` is the full entries table (or a stream batch). Each
+        key-salt partition advances independently: rows of salt ``s`` are
+        (re)processed only where their domain reaches past
+        ``watermarks[s] - 1 day``. Overwrites only the affected
+        (day, salt) partitions, so reruns are idempotent.
         """
         spark = entries.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -105,28 +116,51 @@ class TierPipeline:
         finest = names[0]
         max_step = max(self.steps.values())
 
-        watermark = ckpt["watermark_ms"]
-        if watermark is not None:
-            # Recompute complete days only: dynamic partition overwrite
-            # replaces whole (day, salt) partitions, so the input must
-            # contain EVERY entry intersecting the recomputed days. One full
-            # day of overlap below the watermark covers open buckets and
-            # re-extended last entries (entry validity is capped <= 1 day).
-            lo_day = (watermark - watermark % max_step) - max_step
-            new_entries = entries.filter(F.col("ts") + F.col("validity") > lo_day)
+        salted_in = entries.withColumn(
+            "p_salt", F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
+        )
+        wms = ckpt["watermarks"]
+        if wms:
+            # Recompute complete days only, per salt partition: dynamic
+            # partition overwrite replaces whole (day, salt) partitions, so
+            # the input must contain EVERY entry intersecting the recomputed
+            # days of its salt. One full day of overlap below that salt's
+            # watermark covers open buckets and re-extended last entries
+            # (entry validity is capped <= 1 day).
+            lo_expr = None
+            for s in range(self.n_salt):
+                wm = wms.get(str(s))
+                lo = (
+                    (wm - wm % max_step) - max_step
+                    if wm is not None
+                    else None
+                )
+                cond = (F.col("p_salt") == s) & (
+                    F.lit(True)
+                    if lo is None
+                    else (F.col("ts") + F.col("validity") > F.lit(lo))
+                )
+                lo_expr = cond if lo_expr is None else (lo_expr | cond)
+            new_entries = salted_in.filter(lo_expr)
+            lo_days = {
+                s: (wms[str(s)] - wms[str(s)] % max_step) - max_step
+                for s in range(self.n_salt)
+                if str(s) in wms
+            }
         else:
-            lo_day = None
-            new_entries = entries
+            new_entries = salted_in
+            lo_days = {}
 
-        stats = new_entries.agg(
+        stats = new_entries.groupBy("p_salt").agg(
             F.count(F.lit(1)).alias("rows"),
             F.max(F.col("ts") + F.col("validity")).alias("max_until"),
-        ).collect()[0]
-        rows_in = stats["rows"] or 0
+        ).collect()
+        rows_in = sum(r["rows"] for r in stats)
         lineage = {
             "run_id": run_id or f"run-{len(ckpt['runs'])}",
             "rows_in": int(rows_in),
             "bytes_in_approx": int(rows_in) * 28,  # 3x8B numeric + key overhead
+            "rows_in_by_salt": {str(r["p_salt"]): int(r["rows"]) for r in stats},
             "tiers": {},
             "started_unix": int(time.time()),
         }
@@ -135,34 +169,65 @@ class TierPipeline:
             self._commit_checkpoint(ckpt)
             return lineage
 
+        new_entries = new_entries.drop("p_salt")
         tier_df = rollup_time_weighted(new_entries, self.key_cols, self.steps[finest])
-        if lo_day is not None:
+        if lo_days:
             # drop partial buckets in days that are not being rewritten
-            tier_df = tier_df.filter(F.col("bucket") >= lo_day)
+            # (per salt partition)
+            salt_col = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
+            keep = None
+            for s in range(self.n_salt):
+                lo = lo_days.get(s)
+                cond = (salt_col == s) & (
+                    F.lit(True) if lo is None else (F.col("bucket") >= F.lit(lo))
+                )
+                keep = cond if keep is None else (keep | cond)
+            tier_df = tier_df.filter(keep)
         self._write_tier(finest, tier_df, lineage)
         for name in names[1:]:
             tier_df = reaggregate_rollup(tier_df, self.key_cols, self.steps[name])
             self._write_tier(name, tier_df, lineage)
 
-        ckpt["watermark_ms"] = int(stats["max_until"])
+        for r in stats:
+            if r["max_until"] is not None:
+                ckpt["watermarks"][str(r["p_salt"])] = int(r["max_until"])
         ckpt["runs"].append(lineage)
         self._commit_checkpoint(ckpt)
         self._write_metrics(spark, lineage)
         return lineage
+
+    # rough on-disk row width for byte lineage: bucket/twmean/vmin/vmax/
+    # integral_s/support_ms/n_pieces numerics + key overhead
+    _ROW_BYTES = 64
 
     def _write_tier(self, name: str, df: DataFrame, lineage: dict) -> None:
         out = self._salted(df)
         path = self.tier_path(name)
         # cache to avoid recomputing for metrics + the next tier's input
         out = out.persist()
-        n = out.count()
+        # per-output-partition row/byte lineage (the north rule's
+        # "lineage + row/byte metrics emitted per partition")
+        parts = out.groupBy("p_day", "p_salt").count().collect()
+        n = sum(r["count"] for r in parts)
         (
             out.repartition("p_day", "p_salt")
             .write.mode("overwrite")
             .partitionBy("p_day", "p_salt")
             .parquet(path)
         )
-        lineage["tiers"][name] = {"points": n, "path": path}
+        lineage["tiers"][name] = {
+            "points": n,
+            "path": path,
+            "partitions": [
+                {
+                    "p_day": int(r["p_day"]),
+                    "p_salt": int(r["p_salt"]),
+                    "rows": int(r["count"]),
+                    "bytes_approx": int(r["count"]) * self._ROW_BYTES,
+                }
+                for r in sorted(parts, key=lambda r: (r["p_day"], r["p_salt"]))
+            ],
+        }
         out.unpersist()
 
     def _write_metrics(self, spark: SparkSession, lineage: dict) -> None:
@@ -170,14 +235,20 @@ class TierPipeline:
             (
                 lineage["run_id"],
                 name,
-                t["points"],
+                p["p_day"],
+                p["p_salt"],
+                p["rows"],
+                p["bytes_approx"],
                 lineage["rows_in"],
                 lineage["started_unix"],
             )
             for name, t in lineage["tiers"].items()
+            for p in t["partitions"]
         ]
         spark.createDataFrame(
-            rec, "run_id string, tier string, points long, rows_in long, started long"
+            rec,
+            "run_id string, tier string, p_day long, p_salt int, rows long, "
+            "bytes_approx long, rows_in long, started long",
         ).write.mode("append").parquet(self.metrics_path)
 
     def read_tier(self, spark: SparkSession, name: str) -> DataFrame:

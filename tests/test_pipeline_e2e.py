@@ -92,10 +92,18 @@ class TestTiers:
             assert a == b, f"tier {tier} diverged"
 
         ckpt = inc.read_checkpoint()
-        assert ckpt["watermark_ms"] is not None
+        assert ckpt["watermarks"], "per-salt watermarks must be set"
+        assert all(isinstance(v, int) for v in ckpt["watermarks"].values())
         assert [r["run_id"] for r in ckpt["runs"]] == ["r1", "r2"]
+        # per-(day, salt) partition lineage: one metrics row per output
+        # partition per tier per run, each with row/byte counts
         metrics = spark.read.parquet(inc.metrics_path)
-        assert metrics.count() == 6  # 2 runs x 3 tiers
+        assert {r["tier"] for r in metrics.collect()} == {"1m", "1h", "1d"}
+        assert metrics.filter("rows <= 0 or bytes_approx <= 0").count() == 0
+        n_parts = sum(
+            len(t["partitions"]) for t in lineage2["tiers"].values()
+        )
+        assert metrics.filter(metrics.run_id == "r2").count() == n_parts
         entries.unpersist()
 
     def test_rerun_idempotent(self, spark, tmp_path):
