@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_per_series"]
+__all__ = ["apply_per_series", "apply_per_bucket"]
 
 
 def apply_per_series(
@@ -58,6 +58,27 @@ def apply_per_series(
             return pd.DataFrame(columns=out_names)
         return pd.concat(frames, ignore_index=True)
 
+    return _dispatch(df, key_cols, _bucket, out_schema, n_buckets)
+
+
+def apply_per_bucket(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_fn,
+    out_schema,
+    n_buckets: int | None = None,
+):
+    """Run ``bucket_fn(pdf) -> pdf`` once per salt bucket (a whole batch of
+    series, key columns included in both input and output). For kernels that
+    can vectorize ACROSS series (e.g. the offset-packed merge) this removes
+    the per-series Python loop entirely."""
+    if n_buckets is None:
+        sc = df.sparkSession.sparkContext
+        n_buckets = max(sc.defaultParallelism * 4, 16)
+    return _dispatch(df, key_cols, bucket_fn, out_schema, n_buckets)
+
+
+def _dispatch(df, key_cols, bucket_fn, out_schema, n_buckets):
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
     )
@@ -69,5 +90,5 @@ def apply_per_series(
     # second exchange appears.
     salted = salted.repartition(n_buckets, "_salt")
     return salted.groupBy("_salt").applyInPandas(
-        lambda pdf: _bucket(pdf.drop(columns=["_salt"])), schema=out_schema
+        lambda pdf: bucket_fn(pdf.drop(columns=["_salt"])), schema=out_schema
     )

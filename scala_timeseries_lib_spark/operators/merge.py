@@ -41,6 +41,7 @@ def merge_series(
     Keys present on only one side behave as merging with the empty series
     (strict ops yield nothing; non-strict ops pass the defined side through).
     """
+    import numpy as np
     import pandas as pd
 
     from ..kernel.merge import merge_apply_numeric
@@ -55,19 +56,59 @@ def merge_series(
         ]
     )
 
-    from ._kernel import apply_per_series
+    from ._kernel import apply_per_bucket
 
-    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        l = pdf[pdf["side"] == 0]
-        r = pdf[pdf["side"] == 1]
-        ts, value, validity = merge_apply_numeric(
-            l["ts"].to_numpy(), l["value"].to_numpy(), l["validity"].to_numpy(),
-            r["ts"].to_numpy(), r["value"].to_numpy(), r["validity"].to_numpy(),
-            op=op, compress=compress,
+    def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Offset-packed merge of a whole salt bucket in ONE vectorized call.
+
+        Every series gets a disjoint [idx*stride, (idx+1)*stride) region of
+        the int64 time axis (stride > the bucket's full time span, so
+        regions can never touch and segments never cross series). The
+        boundary-union merge kernel then processes all series of the bucket
+        at once -- no per-series Python loop, no per-series numpy-call
+        overhead.
+        """
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        keys = pdf[key_cols]
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
         )
-        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
+        ts = pdf["ts"].to_numpy(np.int64)
+        dur = pdf["validity"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.float64)
+        side = pdf["side"].to_numpy()
+        base = int(ts.min())
+        stride = int((ts + dur).max()) - base + 1
+        packed = codes.astype(np.int64) * stride + (ts - base)
 
-    # union with a side tag + single salted grouped kernel: one shuffle
+        def pick(s):
+            m = side == s
+            order = np.argsort(packed[m], kind="stable")
+            return packed[m][order], val[m][order], dur[m][order]
+
+        m_ts, m_val, m_dur = merge_apply_numeric(
+            *pick(0), *pick(1), op=op, compress=compress
+        )
+        idx = m_ts // stride
+        out = pd.DataFrame(
+            {
+                "ts": m_ts % stride + base,
+                "value": m_val,
+                "validity": m_dur,
+            }
+        )
+        key_vals = (
+            uniques[idx].to_frame(index=False)
+            if len(key_cols) > 1
+            else pd.DataFrame({key_cols[0]: uniques[idx]})
+        )
+        key_vals.columns = key_cols
+        return pd.concat(
+            [key_vals.reset_index(drop=True), out], axis=1
+        )[[f.name for f in out_schema.fields]]
+
+    # union with a side tag + single salted bucket kernel: one shuffle
     # total, and it sidesteps Spark's self-cogroup attribute ambiguity when
     # both inputs share lineage (two filters of the same parent DataFrame)
     tagged = left.select(
@@ -75,7 +116,7 @@ def merge_series(
     ).unionByName(
         right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
-    return apply_per_series(tagged, key_cols, _merge, out_schema)
+    return apply_per_bucket(tagged, key_cols, _merge_bucket, out_schema)
 
 
 def merge_series_n(
