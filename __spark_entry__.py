@@ -377,6 +377,22 @@ def _q_sliding_std_1h(spark, sf_dir):
     return out.withColumn("value", F.round("value", 5))
 
 
+def _q_strict_zip(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators.merge import strict_zip_series
+
+    a, b = _ab(spark, sf_dir)
+    return strict_zip_series(a, b, ["user_id"])
+
+
+FILL_CONST = -1.0
+
+
+def _q_fill_const(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    return ops.fill_gaps_constant(_entries(spark, sf_dir), KEYS, FILL_CONST)
+
+
 MAP_FILTER_THRESHOLD = 50.0
 
 
@@ -513,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sliding_max_1h": _q_sliding_max_1h,
         "ts_sliding_std_1h": _q_sliding_std_1h,
         "ts_map_filter": _q_map_filter,
+        "ts_strict_zip": _q_strict_zip,
+        "ts_fill_const": _q_fill_const,
         "dedup_emb_cosine": _q_emb_neardup,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -655,6 +673,54 @@ pick AS (
 SELECT user_id, event_type, p AS ts, value,
        CAST({RATE_10M} AS BIGINT) AS validity
 FROM pick WHERE rn = 1
+"""
+
+
+def _strict_zip_sql() -> str:
+    """strictZip: both-defined segments carrying both values, RLE-compressed
+    on (a, b) tuple equality -- the two-value variant of _merge_sql."""
+    return f"""
+{ENTRIES_CTE},
+a AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, value, validity FROM entries WHERE event_type = 'view'),
+bounds AS (
+    SELECT user_id, p FROM (
+        SELECT user_id, ts AS p FROM a
+        UNION SELECT user_id, ts + validity FROM a
+        UNION SELECT user_id, ts AS p FROM b
+        UNION SELECT user_id, ts + validity FROM b
+    )
+),
+segs AS (
+    SELECT user_id, p AS lo, LEAD(p) OVER (PARTITION BY user_id ORDER BY p) AS hi
+    FROM bounds
+),
+vals AS (
+    SELECT s.user_id, s.lo, s.hi, av.value AS a_val, bv.value AS b_val
+    FROM segs s
+    JOIN a av ON av.user_id = s.user_id
+        AND s.lo >= av.ts AND s.lo < av.ts + av.validity
+    JOIN b bv ON bv.user_id = s.user_id
+        AND s.lo >= bv.ts AND s.lo < bv.ts + bv.validity
+    WHERE s.hi IS NOT NULL
+),
+islands AS (
+    SELECT user_id, lo, hi, a_val, b_val,
+           CASE WHEN LAG(hi) OVER w = lo AND LAG(a_val) OVER w = a_val
+                     AND LAG(b_val) OVER w = b_val
+                THEN 0 ELSE 1 END AS brk
+    FROM vals
+    WINDOW w AS (PARTITION BY user_id ORDER BY lo)
+),
+grp AS (
+    SELECT user_id, lo, hi, a_val, b_val,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY lo) AS island
+    FROM islands
+)
+SELECT user_id, MIN(lo) AS ts, a_val AS a_value, b_val AS b_value,
+       CAST(MAX(hi) - MIN(lo) AS BIGINT) AS validity
+FROM grp
+GROUP BY user_id, island, a_val, b_val
 """
 
 
@@ -904,6 +970,21 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
         + f"""
 SELECT user_id, event_type, ts, ROUND(value * 1.5 + 1.0, 5) AS value, validity
 FROM entries WHERE value >= {MAP_FILTER_THRESHOLD}
+""",
+        "ts_strict_zip": _strict_zip_sql(),
+        "ts_fill_const": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type, ts, value, validity FROM entries
+UNION ALL
+SELECT user_id, event_type, ts + validity AS ts,
+       CAST({FILL_CONST} AS DOUBLE) AS value,
+       next_ts - (ts + validity) AS validity
+FROM (
+    SELECT *, LEAD(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+           AS next_ts
+    FROM entries
+)
+WHERE next_ts - (ts + validity) > 0
 """,
         "ts_sample_closest": _sample_closest_sql(),
         "ts_series_stats": ENTRIES_CTE

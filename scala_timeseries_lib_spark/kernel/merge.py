@@ -28,6 +28,7 @@ __all__ = [
     "merge_entries_n",
     "merge_apply_numeric",
     "merge_apply_numeric_n",
+    "strict_zip_arrays",
     "op_strict",
     "op_non_strict_plus",
     "op_non_strict_minus",
@@ -206,6 +207,53 @@ def merge_apply_numeric(
     from .fitter import fit_arrays
 
     return fit_arrays(lo[keep], res[keep], (hi - lo)[keep], compress=compress)
+
+
+def strict_zip_arrays(
+    a_ts, a_val, a_validity, b_ts, b_val, b_validity, compress: bool = True
+):
+    """Vectorized strictZip (TimeSeries.scala:335): tuple-valued segments
+    defined only where BOTH sides are. Returns ``(ts, a_value, b_value,
+    validity)`` arrays; with ``compress`` adjacent contiguous segments with
+    equal (a, b) pairs are RLE-merged (the fitter's tuple-equality rule)."""
+    a_ts = np.asarray(a_ts, np.int64)
+    b_ts = np.asarray(b_ts, np.int64)
+    a_val = np.asarray(a_val, np.float64)
+    b_val = np.asarray(b_val, np.float64)
+    a_validity = np.asarray(a_validity, np.int64)
+    b_validity = np.asarray(b_validity, np.int64)
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.float64),
+        np.empty(0, np.float64), np.empty(0, np.int64),
+    )
+    if a_ts.size == 0 or b_ts.size == 0:
+        return empty
+
+    pts = np.unique(
+        np.concatenate([a_ts, a_ts + a_validity, b_ts, b_ts + b_validity])
+    )
+    lo, hi = pts[:-1], pts[1:]
+
+    def side(ts, val, validity):
+        idx = np.searchsorted(ts, lo, side="right") - 1
+        ok = idx >= 0
+        idxc = np.clip(idx, 0, ts.size - 1)
+        defined = ok & (lo < ts[idxc] + validity[idxc])
+        return defined, np.where(defined, val[idxc], np.nan)
+
+    da, va = side(a_ts, a_val, a_validity)
+    db, vb = side(b_ts, b_val, b_validity)
+    keep = da & db
+    lo, hi, va, vb = lo[keep], hi[keep], va[keep], vb[keep]
+    if lo.size == 0:
+        return empty
+    if not compress:
+        return lo, va, vb, hi - lo
+    brk = np.ones(lo.size, bool)
+    brk[1:] = (lo[1:] != hi[:-1]) | (va[1:] != va[:-1]) | (vb[1:] != vb[:-1])
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], lo.size) - 1
+    return lo[starts], va[starts], vb[starts], hi[ends] - lo[starts]
 
 
 def merge_apply_numeric_n(sides, op: str, compress: bool = True):

@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["merge_series", "merge_series_n", "NUMERIC_OPS"]
+__all__ = ["merge_series", "merge_series_n", "strict_zip_series", "NUMERIC_OPS"]
 
 NUMERIC_OPS = ("plus", "plus_strict", "minus_strict", "multiply_strict", "fallback")
 
@@ -117,6 +117,78 @@ def merge_series(
         right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
     return apply_per_bucket(tagged, key_cols, _merge_bucket, out_schema)
+
+
+def strict_zip_series(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compress: bool = True,
+) -> DataFrame:
+    """strictZip (TimeSeries.scala:335): tuple-valued segments where BOTH
+    series are defined. Output: key cols + ts, a_value, b_value, validity.
+    Same offset-packed single-call bucket kernel as merge_series."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernel.merge import strict_zip_arrays
+
+    key_fields = [left.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("a_value", DoubleType()),
+            StructField("b_value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    from ._kernel import apply_per_bucket
+
+    def _zip_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        keys = pdf[key_cols]
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
+        )
+        ts = pdf["ts"].to_numpy(np.int64)
+        dur = pdf["validity"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.float64)
+        side = pdf["side"].to_numpy()
+        base = int(ts.min())
+        stride = int((ts + dur).max()) - base + 1
+        packed = codes.astype(np.int64) * stride + (ts - base)
+
+        def pick(s):
+            m = side == s
+            order = np.argsort(packed[m], kind="stable")
+            return packed[m][order], val[m][order], dur[m][order]
+
+        z_ts, za, zb, z_dur = strict_zip_arrays(
+            *pick(0), *pick(1), compress=compress
+        )
+        idx = z_ts // stride
+        key_vals = (
+            uniques[idx].to_frame(index=False)
+            if len(key_cols) > 1
+            else pd.DataFrame({key_cols[0]: uniques[idx]})
+        )
+        key_vals.columns = key_cols
+        out = pd.DataFrame(
+            {"ts": z_ts % stride + base, "a_value": za, "b_value": zb,
+             "validity": z_dur}
+        )
+        return pd.concat([key_vals.reset_index(drop=True), out], axis=1)[out_names]
+
+    tagged = left.select(
+        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+    ).unionByName(
+        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+    )
+    return apply_per_bucket(tagged, key_cols, _zip_bucket, out_schema)
 
 
 def merge_series_n(
