@@ -16,10 +16,14 @@ per (day, salt) output partition to a side table. A killed job rerun from
 the same checkpoint produces byte-identical tables (pinned by
 tests/test_pipeline_e2e.py).
 
-Scale: writes are partitioned by (day, key-hash bucket) -- the salted
+Scale: writes are partitioned by (time slab, key-hash bucket) -- the salted
 (url-bucket, time-bucket) scheme from the north rule -- so hot domains
 spread over ``n_salt`` files and time pruning works on the partition
-column.
+column. Partition slabs widen with the tier (>= 256 buckets per slab):
+coarser tiers have ~1/60th the rows, and per-dir commit cost would dominate
+their writes under a fixed daily layout. On incremental runs each coarser
+tier reads the STORED finer tier back for its full rewrite window, so raw
+data is only ever scanned by the finest tier.
 """
 
 from __future__ import annotations
@@ -92,13 +96,36 @@ class TierPipeline:
         os.replace(tmp, self.checkpoint_path)  # atomic commit
 
     # -- build -------------------------------------------------------------
-    def _salted(self, df: DataFrame) -> DataFrame:
-        """Partition layout columns: day + key-hash salt bucket."""
+    def _part_step(self, name: str) -> int:
+        """Time width of one output partition for this tier.
+
+        Coarser tiers get coarser partitions (>= 256 buckets per partition,
+        never finer than a day): a (day, salt) layout that is right for the
+        1m tier would give the 1d tier hundreds of near-empty dirs, and
+        partitioned-write cost is dominated by the dir count, not the rows
+        (measured ~7ms/dir for dynamic-overwrite commit on this box).
+        """
+        return max(86_400_000, 256 * self.steps[name])
+
+    def _salted(self, df: DataFrame, part_step: int) -> DataFrame:
+        """Partition layout columns: time slab + key-hash salt bucket."""
         return df.withColumn(
-            "p_day", (F.col("bucket") - F.pmod(F.col("bucket"), F.lit(86_400_000)))
+            "p_day", (F.col("bucket") - F.pmod(F.col("bucket"), F.lit(part_step)))
         ).withColumn(
             "p_salt", F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
         )
+
+    def _per_salt_bucket_filter(self, lows: dict[int, int]):
+        """bucket >= lows[salt] per key-salt, True for salts without a low."""
+        salt_col = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
+        keep = None
+        for s in range(self.n_salt):
+            lo = lows.get(s)
+            cond = (salt_col == s) & (
+                F.lit(True) if lo is None else (F.col("bucket") >= F.lit(lo))
+            )
+            keep = cond if keep is None else (keep | cond)
+        return keep
 
     def update(self, entries: DataFrame, run_id: str | None = None) -> dict:
         """Process new entries incrementally; returns the lineage record.
@@ -120,21 +147,29 @@ class TierPipeline:
             "p_salt", F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
         )
         wms = ckpt["watermarks"]
-        if wms:
-            # Recompute complete days only, per salt partition: dynamic
-            # partition overwrite replaces whole (day, salt) partitions, so
-            # the input must contain EVERY entry intersecting the recomputed
-            # days of its salt. One full day of overlap below that salt's
-            # watermark covers open buckets and re-extended last entries
-            # (entry validity is capped <= 1 day).
+        # changed_from[s]: the earliest finest bucket that may still change
+        # for salt s -- one full max_step of overlap below the watermark
+        # covers open buckets and re-extended last entries (entry validity
+        # is capped <= max_step)
+        changed_from = {
+            s: (wms[str(s)] - wms[str(s)] % max_step) - max_step
+            for s in range(self.n_salt)
+            if str(s) in wms
+        }
+        # per tier: the lower edge of the rewritten partitions, aligned DOWN
+        # to that tier's partition step (dynamic overwrite replaces whole
+        # partitions, so every bucket of a touched partition must be present)
+        lows = {
+            name: {
+                s: cf - cf % self._part_step(name)
+                for s, cf in changed_from.items()
+            }
+            for name in names
+        }
+        if changed_from:
             lo_expr = None
             for s in range(self.n_salt):
-                wm = wms.get(str(s))
-                lo = (
-                    (wm - wm % max_step) - max_step
-                    if wm is not None
-                    else None
-                )
+                lo = lows[finest].get(s)
                 cond = (F.col("p_salt") == s) & (
                     F.lit(True)
                     if lo is None
@@ -142,14 +177,8 @@ class TierPipeline:
                 )
                 lo_expr = cond if lo_expr is None else (lo_expr | cond)
             new_entries = salted_in.filter(lo_expr)
-            lo_days = {
-                s: (wms[str(s)] - wms[str(s)] % max_step) - max_step
-                for s in range(self.n_salt)
-                if str(s) in wms
-            }
         else:
             new_entries = salted_in
-            lo_days = {}
 
         stats = new_entries.groupBy("p_salt").agg(
             F.count(F.lit(1)).alias("rows"),
@@ -171,22 +200,39 @@ class TierPipeline:
 
         new_entries = new_entries.drop("p_salt")
         tier_df = rollup_time_weighted(new_entries, self.key_cols, self.steps[finest])
-        if lo_days:
-            # drop partial buckets in days that are not being rewritten
-            # (per salt partition)
-            salt_col = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
-            keep = None
-            for s in range(self.n_salt):
-                lo = lo_days.get(s)
-                cond = (salt_col == s) & (
-                    F.lit(True) if lo is None else (F.col("bucket") >= F.lit(lo))
-                )
-                keep = cond if keep is None else (keep | cond)
-            tier_df = tier_df.filter(keep)
-        self._write_tier(finest, tier_df, lineage)
-        for name in names[1:]:
-            tier_df = reaggregate_rollup(tier_df, self.key_cols, self.steps[name])
-            self._write_tier(name, tier_df, lineage)
+        if changed_from:
+            # drop partial buckets below the rewritten partitions (per salt)
+            tier_df = tier_df.filter(self._per_salt_bucket_filter(lows[finest]))
+        # persist each tier's PRE-salted frame: both its own write and the
+        # next tier's reaggregation read it, so every tier is computed once
+        # (caching the salted projection instead would not match the
+        # reaggregation's subplan and each tier would recompute the chain)
+        persisted = []
+        try:
+            for i, name in enumerate(names):
+                if i > 0:
+                    if changed_from:
+                        # a coarser tier's partitions are wider than the
+                        # finer tier's increment, so read the STORED finer
+                        # tier back for the full rewrite window -- coarser
+                        # tiers never touch raw data, only the previous tier
+                        prev = spark.read.parquet(
+                            self.tier_path(names[i - 1])
+                        ).drop("p_day", "p_salt")
+                        src = prev.filter(
+                            self._per_salt_bucket_filter(lows[name])
+                        )
+                    else:
+                        src = tier_df  # first run: chain in memory
+                    tier_df = reaggregate_rollup(
+                        src, self.key_cols, self.steps[name]
+                    )
+                tier_df = tier_df.persist()
+                persisted.append(tier_df)
+                self._write_tier(name, tier_df, lineage)
+        finally:
+            for df in persisted:
+                df.unpersist()
 
         for r in stats:
             if r["max_until"] is not None:
@@ -201,16 +247,24 @@ class TierPipeline:
     _ROW_BYTES = 64
 
     def _write_tier(self, name: str, df: DataFrame, lineage: dict) -> None:
-        out = self._salted(df)
+        """``df`` must already be persisted by the caller (both the metrics
+        pass and the write below read it, and so does the next tier)."""
+        out = self._salted(df, self._part_step(name))
         path = self.tier_path(name)
-        # cache to avoid recomputing for metrics + the next tier's input
-        out = out.persist()
         # per-output-partition row/byte lineage (the north rule's
         # "lineage + row/byte metrics emitted per partition")
         parts = out.groupBy("p_day", "p_salt").count().collect()
         n = sum(r["count"] for r in parts)
+        # user-numbered repartition: AQE's size-based coalescing would squash
+        # a small tier to ONE task, which then writes every (day, salt)
+        # partition dir serially; pinning the count keeps the file fan-out
+        # parallel (same trap as the Arrow kernel stages, operators/_kernel.py)
+        n_write = min(
+            max(len(parts), 1),
+            df.sparkSession.sparkContext.defaultParallelism * 2,
+        )
         (
-            out.repartition("p_day", "p_salt")
+            out.repartition(n_write, "p_day", "p_salt")
             .write.mode("overwrite")
             .partitionBy("p_day", "p_salt")
             .parquet(path)
@@ -228,7 +282,6 @@ class TierPipeline:
                 for r in sorted(parts, key=lambda r: (r["p_day"], r["p_salt"]))
             ],
         }
-        out.unpersist()
 
     def _write_metrics(self, spark: SparkSession, lineage: dict) -> None:
         rec = [
