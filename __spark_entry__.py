@@ -384,6 +384,15 @@ def _q_strict_zip(spark, sf_dir):
     return strict_zip_series(a, b, ["user_id"])
 
 
+AT_PROBES = [SLICE_LO, SLICE_LO + 7 * DAY + 12 * HOUR, SLICE_HI - 1]
+
+
+def _q_at_probes(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    return ops.at_timestamps(_entries(spark, sf_dir), KEYS, AT_PROBES)
+
+
 FILL_CONST = -1.0
 
 
@@ -531,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_map_filter": _q_map_filter,
         "ts_strict_zip": _q_strict_zip,
         "ts_fill_const": _q_fill_const,
+        "ts_at_probes": _q_at_probes,
         "dedup_emb_cosine": _q_emb_neardup,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -972,6 +982,13 @@ SELECT user_id, event_type, ts, ROUND(value * 1.5 + 1.0, 5) AS value, validity
 FROM entries WHERE value >= {MAP_FILTER_THRESHOLD}
 """,
         "ts_strict_zip": _strict_zip_sql(),
+        "ts_at_probes": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type, p.probe_ts, value
+FROM entries, (SELECT UNNEST([{", ".join(str(p) for p in AT_PROBES)}])
+               AS probe_ts) p
+WHERE p.probe_ts >= ts AND p.probe_ts < ts + validity
+""",
         "ts_fill_const": ENTRIES_CTE
         + f"""
 SELECT user_id, event_type, ts, value, validity FROM entries

@@ -26,6 +26,7 @@ __all__ = [
     "reaggregate_rollup",
     "series_stats",
     "sample_strict_grid",
+    "at_timestamps",
 ]
 
 def _until():
@@ -334,6 +335,29 @@ def series_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_entries"),
         F.sum("validity").alias("support_ms"),
         (F.sum("validity") / (w_until - F.min("ts"))).alias("support_ratio"),
+    )
+
+
+def at_timestamps(
+    df: DataFrame, key_cols: list[str], probes: list[int]
+) -> DataFrame:
+    """Batched point lookup ``at(t)`` (TimeSeries.scala:15, binary search
+    VectorTimeSeries.scala:183-224): for every series and probe timestamp,
+    the value of the entry defined at that instant (absent in holes).
+
+    The as-of-join pattern: probes are a tiny broadcast side; the entries
+    scan stays partition-pruned and each entry meets each probe once in a
+    range-predicate join. At table scale the per-probe work is one scan of
+    the pruned entries, never a shuffle of the big side.
+    """
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame([(int(p),) for p in probes], "probe_ts long")
+    return (
+        df.join(
+            F.broadcast(probe_df),
+            (F.col("probe_ts") >= F.col("ts")) & (F.col("probe_ts") < _until()),
+        )
+        .select(*key_cols, "probe_ts", "value")
     )
 
 
