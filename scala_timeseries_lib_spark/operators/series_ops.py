@@ -68,6 +68,40 @@ def slice_series(df: DataFrame, start: int, end: int) -> DataFrame:
     return trim_right(trim_left(df, start), end)
 
 
+def _fill_gaps(df, key_cols, fill_value_col, max_hole):
+    """Single-pass gap fill: each row explodes into itself plus (when a hole
+    follows) one fill row. A union of entries with a separately-derived gap
+    table would run the whole upstream subtree (scan, shuffle, windows)
+    twice; this shape keeps one scan and one ``lead`` window."""
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    # window expr must be materialized before entering the generator below
+    df = df.withColumn("_hole", F.lead("ts").over(w) - _until())
+    gap_ok = F.col("_hole") > 0
+    if max_hole is not None:
+        gap_ok = gap_ok & (F.col("_hole") <= max_hole)
+    pieces = F.array(
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("value").alias("value"),
+            F.col("validity").alias("validity"),
+        ),
+        F.struct(
+            _until().alias("ts"),
+            fill_value_col.alias("value"),
+            # sentinel -1 drops the fill row when there is no hole
+            F.when(gap_ok, F.col("_hole")).otherwise(F.lit(-1)).alias("validity"),
+        ),
+    )
+    return df.withColumn(
+        "_piece", F.explode(F.filter(pieces, lambda x: x["validity"] > 0))
+    ).select(
+        *key_cols,
+        F.col("_piece.ts").alias("ts"),
+        F.col("_piece.value").alias("value"),
+        F.col("_piece.validity").alias("validity"),
+    )
+
+
 def fill_gaps_locf(
     df: DataFrame, key_cols: list[str], max_hole: int | None = None
 ) -> DataFrame:
@@ -75,41 +109,15 @@ def fill_gaps_locf(
     an entry's end and the next entry's start, emit a fill entry carrying the
     previous value (reference ``fill``/``fallback``, TimeSeries.scala:154-161,
     with fillValue = previous value). ``max_hole`` optionally skips holes
-    larger than a bound. Pure JVM: one ``lead`` window + union."""
-    w = Window.partitionBy(*key_cols).orderBy("ts")
-    gaps = (
-        df.withColumn("next_ts", F.lead("ts").over(w))
-        .withColumn("hole", F.col("next_ts") - _until())
-        .filter(F.col("hole") > 0)
-    )
-    if max_hole is not None:
-        gaps = gaps.filter(F.col("hole") <= max_hole)
-    fills = gaps.select(
-        *key_cols,
-        _until().alias("ts"),
-        F.col("value"),
-        F.col("hole").alias("validity"),
-    )
-    return df.select(*key_cols, "ts", "value", "validity").unionByName(fills)
+    larger than a bound. Pure JVM: one ``lead`` window + explode."""
+    return _fill_gaps(df, key_cols, F.col("value"), max_hole)
 
 
 def fill_gaps_constant(df: DataFrame, key_cols: list[str], fill_value: float) -> DataFrame:
     """Reference ``fill(whenUndef)``: constant-fill every hole
     (TimeSeries.scala:154-161). Note: no RLE compression with neighbors is
     applied here; run fit_entries(compress=True) after if needed."""
-    w = Window.partitionBy(*key_cols).orderBy("ts")
-    gaps = (
-        df.withColumn("next_ts", F.lead("ts").over(w))
-        .withColumn("hole", F.col("next_ts") - _until())
-        .filter(F.col("hole") > 0)
-    )
-    fills = gaps.select(
-        *key_cols,
-        _until().alias("ts"),
-        F.lit(float(fill_value)).alias("value"),
-        F.col("hole").alias("validity"),
-    )
-    return df.select(*key_cols, "ts", "value", "validity").unionByName(fills)
+    return _fill_gaps(df, key_cols, F.lit(float(fill_value)), None)
 
 
 def split_entries_longer_than(df: DataFrame, max_length: int) -> DataFrame:
