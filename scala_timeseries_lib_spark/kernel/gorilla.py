@@ -29,6 +29,15 @@ Round-trip contracts pinned by the reference's GorillaBlockSpec (lifted to
 tests/test_gorilla.py): exact round-trips including Long extremes via Double,
 framing length ``4 + len(values) + len(validities)``, errors on empty/corrupt
 input and non-positive sample rates.
+
+The encoder (``compress_array``) is fully vectorized -- variable-width codes
+as (value, nbits) arrays, bit-packed with flat numpy gathers -- with one
+deliberate deviation from the paper's encoder: the leading/length window is
+reused only when the new window EQUALS the previous one (the >= rule is a
+sequential scan; the equality rule is a pure per-entry function plus a
+prefix-max, and produces a stream every conforming decoder accepts). The
+sequential reference encoder is kept as ``_compress_array_py`` and
+cross-checked in tests.
 """
 
 from __future__ import annotations
@@ -132,7 +141,127 @@ class _BitReader:
 
 
 def compress_array(timestamps, values_u64) -> bytes:
-    """Encode (int64 ts, uint64 value-bits) pairs into a GorillaArray."""
+    """Encode (int64 ts, uint64 value-bits) pairs into a GorillaArray.
+
+    Fully vectorized (no per-entry Python): per-entry variable-length codes
+    are materialized as (value, nbits) field arrays, then packed with a
+    64-pass bit matrix + ``np.packbits``. The leading/length window is
+    reused only when the new window EQUALS the previous changed value's
+    window -- a vectorizable restriction of the paper's >= rule (the
+    effective window state never differs from the per-entry window, so the
+    sequential decoder below and gorilla-tsc both accept the stream).
+    """
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values_u64, dtype=np.uint64)
+    n = int(ts.size)
+    if n == 0:
+        raise ValueError("cannot compress an empty series")
+    validate_gorilla_timestamps(ts)
+    block_ts = int(ts[0])
+    if n == 1:
+        w = _BitWriter()
+        w.write(0, 27)
+        w.write(int(vals[0]), 64)
+        return struct.pack("<Iq", n, block_ts) + w.getvalue()
+
+    # ---- timestamp codes: delta-of-delta bucket per entry ----
+    deltas = np.diff(ts)
+    dod = deltas.copy()
+    dod[1:] = deltas[1:] - deltas[:-1]
+    conds = [dod == 0]
+    code_vals = [np.zeros(dod.size, np.uint64)]
+    code_bits = [np.ones(dod.size, np.int64)]
+    for prefix, pbits, bits, offset in _DOD_BUCKETS:
+        conds.append((dod >= -offset) & (dod < (1 << bits) - offset))
+        code_vals.append(
+            ((np.uint64(prefix) << np.uint64(bits))
+             | (dod + offset).astype(np.uint64))
+        )
+        code_bits.append(np.full(dod.size, pbits + bits, np.int64))
+    ts_val = np.select(conds, code_vals)
+    ts_bits = np.select(conds, code_bits)
+
+    # ---- value codes: XOR + leading/length window ----
+    xor = vals[1:] ^ vals[:-1]
+    changed = xor != 0
+    x = xor.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    msb = x - (x >> np.uint64(1))
+    bitlen = np.zeros(xor.size, np.int64)
+    nz = msb != 0
+    bitlen[nz] = np.log2(msb[nz].astype(np.float64)).astype(np.int64) + 1
+    lead = np.minimum(64 - bitlen, 31)
+    low = xor & (~xor + np.uint64(1))
+    trail = np.zeros(xor.size, np.int64)
+    trail[nz] = np.log2(low[nz].astype(np.float64)).astype(np.int64)
+    length = 64 - lead - trail  # meaningful bits (1..64) where changed
+
+    # previous changed value's window (prefix-max of changed indices)
+    idx = np.where(changed, np.arange(xor.size), -1)
+    prev_idx = np.concatenate(([-1], np.maximum.accumulate(idx)[:-1]))
+    has_prev = prev_idx >= 0
+    prev_c = np.clip(prev_idx, 0, None)
+    reuse = (
+        changed & has_prev
+        & (lead[prev_c] == lead) & (length[prev_c] == length)
+    )
+    new_win = changed & ~reuse
+
+    ctrl_val = np.zeros(xor.size, np.uint64)
+    ctrl_bits = np.zeros(xor.size, np.int64)
+    ctrl_val[changed] = np.uint64(0b10)
+    ctrl_bits[changed] = 2
+    ctrl_val[~changed] = np.uint64(0)
+    ctrl_bits[~changed] = 1
+    ctrl_val[new_win] = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead[new_win].astype(np.uint64) << np.uint64(6))
+        | (length[new_win].astype(np.uint64) & np.uint64(0x3F))
+    )
+    ctrl_bits[new_win] = 13
+    pay_val = np.zeros(xor.size, np.uint64)
+    pay_bits = np.zeros(xor.size, np.int64)
+    pay_val[changed] = xor[changed] >> trail[changed].astype(np.uint64)
+    pay_bits[changed] = length[changed]
+
+    # ---- interleave header + (ts, ctrl, payload) per entry and pack ----
+    m = xor.size
+    fields_val = np.empty(2 + 3 * m, np.uint64)
+    fields_bits = np.empty(2 + 3 * m, np.int64)
+    fields_val[0], fields_bits[0] = np.uint64(0), 27  # first delta to header
+    fields_val[1], fields_bits[1] = vals[0], 64
+    fields_val[2::3], fields_bits[2::3] = ts_val, ts_bits
+    fields_val[3::3], fields_bits[3::3] = ctrl_val, ctrl_bits
+    fields_val[4::3], fields_bits[4::3] = pay_val, pay_bits
+    return struct.pack("<Iq", n, block_ts) + _pack_bits(fields_val, fields_bits)
+
+
+def _pack_bits(values: "np.ndarray", nbits: "np.ndarray") -> bytes:
+    """MSB-first concatenation of variable-width fields.
+
+    One ``np.unpackbits`` pass exposes every field's 64 bits MSB-first; a
+    row-major boolean take of each row's low ``nbits`` columns IS the
+    concatenated stream (fields are consecutive, so no offsets and no
+    scatter are needed) -- the whole pack is three vectorized ops."""
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    # one output element per BIT: field index, position within the field,
+    # then extract that bit with a shift -- all flat C-speed gathers
+    row = np.repeat(np.arange(nbits.size), nbits)
+    within = np.arange(total) - np.repeat(np.cumsum(nbits) - nbits, nbits)
+    shift = (np.repeat(nbits, nbits) - 1 - within).astype(np.uint64)
+    bits = ((values[row] >> shift) & np.uint64(1)).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+def _compress_array_py(timestamps, values_u64) -> bytes:
+    """Sequential reference encoder (paper's >=-window-reuse rule); kept as
+    the cross-check twin for the vectorized encoder in tests."""
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values_u64, dtype=np.uint64)
     n = int(ts.size)

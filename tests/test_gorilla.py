@@ -139,3 +139,31 @@ class TestPropertyRoundTrips:
         vals = np.full(n, 21.5)
         data = compress_array(ts, vals.view(np.uint64))
         assert len(data) < n * 16 / 10  # >10x better than raw (ts,value) pairs
+
+
+class TestVectorizedEncoderCrossCheck:
+    def test_vec_and_sequential_encoders_roundtrip_identically(self):
+        import numpy as np
+
+        from scala_timeseries_lib_spark.kernel.gorilla import (
+            _compress_array_py,
+            compress_array,
+            decompress_array,
+        )
+
+        rng = np.random.default_rng(17)
+        for trial in range(40):
+            n = int(rng.integers(1, 300))
+            ts = 1_000 + np.cumsum(rng.integers(1, 50_000, n)).astype(np.int64)
+            if trial % 3 == 0:
+                vals = rng.normal(0, 1e6, n).view(np.uint64)
+            elif trial % 3 == 1:
+                vals = rng.integers(0, 4, n).astype(np.float64).view(np.uint64)
+            else:
+                vals = rng.integers(0, 2**63 - 1, n, dtype=np.int64).astype(
+                    np.uint64
+                )
+            for enc in (compress_array, _compress_array_py):
+                t2, v2 = decompress_array(enc(ts, vals))
+                assert np.array_equal(t2, ts)
+                assert np.array_equal(v2, vals)
