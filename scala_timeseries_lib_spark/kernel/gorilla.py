@@ -319,7 +319,162 @@ def _compress_array_py(timestamps, values_u64) -> bytes:
 
 
 def decompress_array(data: bytes):
-    """Decode a GorillaArray to (int64 timestamps, uint64 value-bits)."""
+    """Decode a GorillaArray to (int64 timestamps, uint64 value-bits).
+
+    Two-phase: a Python walk over CONTROL bits only (dod class, change /
+    window-reuse flags, 5+6-bit window headers) records every payload
+    field's position and width; payload extraction and the delta-of-delta /
+    XOR chains then run vectorized (``np.add.reduceat`` for field values,
+    ``cumsum`` twice for timestamps, ``np.bitwise_xor.accumulate`` for
+    values). The walk touches ~4 bits per entry; payload bits never pass
+    through Python.
+    """
+    if len(data) < 12:
+        raise ValueError("corrupt Gorilla array: too short")
+    n, block_ts = struct.unpack_from("<Iq", data, 0)
+    if n == 0 or n > (1 << 31):
+        raise ValueError("corrupt Gorilla array: bad entry count")
+    payload = np.frombuffer(bytes(data[12:]), dtype=np.uint8)
+    bits = np.unpackbits(payload)
+    nbits_total = bits.size
+    blist = bits.tolist()  # python ints: ~40ns/index vs ~150ns for np scalars
+
+    def fail():
+        raise ValueError("corrupt Gorilla array: out of bits")
+
+    pos = 0
+    if nbits_total < 27 + 64:
+        fail()
+    # header: 27-bit first delta + raw 64-bit first value
+    first_delta = int(np.add.reduceat(
+        bits[:27].astype(np.int64) << np.arange(26, -1, -1, dtype=np.int64), [0]
+    )[0])
+    pos = 27
+    f_starts = [pos]
+    f_widths = [64]
+    pos += 64
+
+    # per-entry payload field records
+    dod_starts, dod_widths, dod_offsets = [], [], []
+    xor_starts, xor_widths, xor_shifts = [], [], []
+    xor_entry = []  # entry index of each xor field (1-based)
+    prev_lead, prev_len = -1, -1
+    for i in range(1, n):
+        if pos >= nbits_total:
+            fail()
+        if blist[pos] == 0:
+            pos += 1
+            dod_starts.append(-1)
+            dod_widths.append(0)
+            dod_offsets.append(0)
+        else:
+            k = 1
+            while k < 4 and pos + k < nbits_total and blist[pos + k] == 1:
+                k += 1
+            if k == 1:
+                w, off = 7, 63
+            elif k == 2:
+                w, off = 9, 255
+            elif k == 3:
+                w, off = 12, 2047
+            else:
+                w, off = 32, 1 << 31
+            pos += k + (1 if k < 4 else 0)
+            if pos + w > nbits_total:
+                fail()
+            dod_starts.append(pos)
+            dod_widths.append(w)
+            dod_offsets.append(off)
+            pos += w
+        if pos >= nbits_total:
+            fail()
+        if blist[pos] == 0:
+            pos += 1
+            continue
+        pos += 1
+        if pos >= nbits_total:
+            fail()
+        if blist[pos] == 0:
+            pos += 1
+            if prev_len < 0:
+                raise ValueError("corrupt Gorilla array: no previous window")
+            lead, length = prev_lead, prev_len
+        else:
+            pos += 1
+            if pos + 11 > nbits_total:
+                fail()
+            lead = 0
+            for b in blist[pos:pos + 5]:
+                lead = (lead << 1) | b
+            length = 0
+            for b in blist[pos + 5:pos + 11]:
+                length = (length << 1) | b
+            pos += 11
+            if length == 0:
+                length = 64
+            prev_lead, prev_len = lead, length
+        if pos + length > nbits_total:
+            fail()
+        xor_starts.append(pos)
+        xor_widths.append(length)
+        xor_shifts.append(64 - lead - length)
+        xor_entry.append(i)
+        pos += length
+
+    # ---- vectorized payload extraction ----
+    def extract(starts, widths):
+        starts = np.asarray(starts, np.int64)
+        widths = np.asarray(widths, np.int64)
+        if starts.size == 0:
+            return np.zeros(0, np.uint64)
+        gpos = np.repeat(starts, widths) + _within(widths)
+        weights = np.uint64(1) << (
+            np.repeat(widths, widths) - 1 - _within(widths)
+        ).astype(np.uint64)
+        prod = bits[gpos].astype(np.uint64) * weights
+        ends = np.cumsum(widths)
+        return np.add.reduceat(prod, np.concatenate(([0], ends[:-1])))
+
+    # first value
+    v0 = int(extract(f_starts, f_widths)[0])
+
+    ts = np.empty(n, dtype=np.int64)
+    ts[0] = block_ts + first_delta
+    if n > 1:
+        dod = np.zeros(n - 1, np.int64)
+        enc = np.asarray(dod_starts, np.int64) >= 0
+        if enc.any():
+            raw = extract(
+                np.asarray(dod_starts, np.int64)[enc],
+                np.asarray(dod_widths, np.int64)[enc],
+            ).astype(np.int64)
+            dod[enc] = raw - np.asarray(dod_offsets, np.int64)[enc]
+        deltas = np.cumsum(dod) + first_delta
+        ts[1:] = ts[0] + np.cumsum(deltas)
+
+    vals = np.zeros(n, dtype=np.uint64)
+    vals[0] = np.uint64(v0)
+    if xor_entry:
+        xraw = extract(xor_starts, xor_widths)
+        xors = np.zeros(n, np.uint64)
+        xors[np.asarray(xor_entry, np.int64)] = xraw << np.asarray(
+            xor_shifts, np.uint64
+        )
+        xors[0] = np.uint64(v0)
+        vals = np.bitwise_xor.accumulate(xors)
+    else:
+        vals[:] = np.uint64(v0)
+    return ts, vals
+
+
+def _within(widths):
+    """0..w-1 positions inside each variable-width field, concatenated."""
+    total = int(widths.sum())
+    return np.arange(total) - np.repeat(np.cumsum(widths) - widths, widths)
+
+
+def _decompress_array_py(data: bytes):
+    """Sequential reference decoder; cross-check twin for tests."""
     if len(data) < 12:
         raise ValueError("corrupt Gorilla array: too short")
     n, block_ts = struct.unpack_from("<Iq", data, 0)
