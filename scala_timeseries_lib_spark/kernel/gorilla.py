@@ -63,6 +63,9 @@ __all__ = [
 _MAX_FIRST_DELTA = (1 << 27) - 1
 _MAX_GAP = 1 << 31
 
+# below this entry count the sequential codec beats numpy setup overhead
+_VEC_CUTOVER = 128
+
 # delta-of-delta buckets: (prefix_value, prefix_bits, payload_bits, offset)
 # bucket holds dod in [-offset, 2^bits - offset - 1]
 _DOD_BUCKETS = (
@@ -154,15 +157,14 @@ def compress_array(timestamps, values_u64) -> bytes:
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values_u64, dtype=np.uint64)
     n = int(ts.size)
+    if n < _VEC_CUTOVER:
+        # numpy setup overhead beats the loop below ~128 entries; web-scale
+        # series are often tiny, so both paths stay load-bearing
+        return _compress_array_py(ts, vals)
     if n == 0:
         raise ValueError("cannot compress an empty series")
     validate_gorilla_timestamps(ts)
     block_ts = int(ts[0])
-    if n == 1:
-        w = _BitWriter()
-        w.write(0, 27)
-        w.write(int(vals[0]), 64)
-        return struct.pack("<Iq", n, block_ts) + w.getvalue()
 
     # ---- timestamp codes: delta-of-delta bucket per entry ----
     deltas = np.diff(ts)
@@ -334,6 +336,8 @@ def decompress_array(data: bytes):
     n, block_ts = struct.unpack_from("<Iq", data, 0)
     if n == 0 or n > (1 << 31):
         raise ValueError("corrupt Gorilla array: bad entry count")
+    if n < _VEC_CUTOVER:
+        return _decompress_array_py(data)
     payload = np.frombuffer(bytes(data[12:]), dtype=np.uint8)
     bits = np.unpackbits(payload)
     nbits_total = bits.size

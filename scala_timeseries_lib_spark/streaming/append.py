@@ -15,7 +15,7 @@ exactly that pending entry per series + a watermark. Each ``append(batch)``:
    the entries table; the last goes back to the state table;
 4. state commit is atomic (write new state dir, then swap a pointer file),
    so a crashed append can be re-run idempotently: pinned by
-   tests/test_streaming_append.py.
+   tests/test_pipeline_e2e.py (TestStreamingAppend).
 """
 
 from __future__ import annotations
