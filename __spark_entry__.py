@@ -384,6 +384,13 @@ def _q_strict_zip(spark, sf_dir):
     return strict_zip_series(a, b, ["user_id"])
 
 
+def _q_domains(spark, sf_dir):
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    a, b = _ab(spark, sf_dir)
+    return ops.domain_union_intersect(a, b, ["user_id"])
+
+
 AT_PROBES = [SLICE_LO, SLICE_LO + 7 * DAY + 12 * HOUR, SLICE_HI - 1]
 
 
@@ -541,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_strict_zip": _q_strict_zip,
         "ts_fill_const": _q_fill_const,
         "ts_at_probes": _q_at_probes,
+        "ts_domains": _q_domains,
         "dedup_emb_cosine": _q_emb_neardup,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -988,6 +996,21 @@ SELECT user_id, event_type, p.probe_ts, value
 FROM entries, (SELECT UNNEST([{", ".join(str(p) for p in AT_PROBES)}])
                AS probe_ts) p
 WHERE p.probe_ts >= ts AND p.probe_ts < ts + validity
+""",
+        "ts_domains": ENTRIES_CTE
+        + """
+, da AS (SELECT user_id, MIN(ts) AS a_start, MAX(ts + validity) AS a_until
+         FROM entries WHERE event_type = 'click' GROUP BY user_id),
+db AS (SELECT user_id, MIN(ts) AS b_start, MAX(ts + validity) AS b_until
+       FROM entries WHERE event_type = 'view' GROUP BY user_id)
+SELECT user_id,
+       LEAST(a_start, b_start) AS union_start,
+       GREATEST(a_until, b_until) AS union_until,
+       CASE WHEN GREATEST(a_start, b_start) >= LEAST(a_until, b_until)
+            THEN NULL ELSE GREATEST(a_start, b_start) END AS intersect_start,
+       CASE WHEN GREATEST(a_start, b_start) >= LEAST(a_until, b_until)
+            THEN NULL ELSE LEAST(a_until, b_until) END AS intersect_until
+FROM da JOIN db USING (user_id)
 """,
         "ts_fill_const": ENTRIES_CTE
         + f"""

@@ -27,6 +27,7 @@ __all__ = [
     "series_stats",
     "sample_strict_grid",
     "at_timestamps",
+    "domain_union_intersect",
 ]
 
 def _until():
@@ -343,6 +344,32 @@ def series_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_entries"),
         F.sum("validity").alias("support_ms"),
         (F.sum("validity") / (w_until - F.min("ts"))).alias("support_ratio"),
+    )
+
+
+def domain_union_intersect(
+    left: DataFrame, right: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """unionLooseDomains / intersectLooseDomains (TimeSeries.scala:655-671,
+    TimeDomain.scala:25-45): the hole-ignoring hull union and the
+    intersection of two series' loose domains, per key. Intersection
+    columns are null when the domains do not overlap (EmptyTimeDomain)."""
+    def dom(df, tag):
+        return df.groupBy(*key_cols).agg(
+            F.min("ts").alias(f"{tag}_start"),
+            F.max(_until()).alias(f"{tag}_until"),
+        )
+
+    j = dom(left, "a").join(dom(right, "b"), key_cols, "inner")
+    i_start = F.greatest("a_start", "b_start")
+    i_until = F.least("a_until", "b_until")
+    empty = i_start >= i_until
+    return j.select(
+        *key_cols,
+        F.least("a_start", "b_start").alias("union_start"),
+        F.greatest("a_until", "b_until").alias("union_until"),
+        F.when(empty, F.lit(None)).otherwise(i_start).alias("intersect_start"),
+        F.when(empty, F.lit(None)).otherwise(i_until).alias("intersect_until"),
     )
 
 
