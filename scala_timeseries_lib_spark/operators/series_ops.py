@@ -409,6 +409,12 @@ def sample_strict_grid(
     because entries are non-overlapping, and cheap because an entry covers
     ~validity/rate grid points.
     """
+    # pin pre-explode parallelism: AQE would coalesce the compact input to
+    # ~1 partition and serialize the ~validity/rate-amplified Generate and
+    # every downstream per-key window (user-numbered repartitions are
+    # exempt from AQE coalescing; the window reuses this distribution)
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism * 2, *key_cols)
     w = Window.partitionBy(*key_cols)
     if start_expr is None:
         start_expr = F.min("ts").over(w)
