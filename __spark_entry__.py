@@ -473,6 +473,12 @@ def _q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
 def _q_quality(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.text import quality_score
 
@@ -556,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
+        "text_bpe_tokens": _q_bpe_tokens,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -1259,6 +1266,13 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
+""",
+        "text_bpe_tokens": r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS INT) AS n_bpe_tokens
+FROM documents
 """,
         "text_token_stats": f"""
 WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

@@ -14,13 +14,20 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash32",
     "token_stats",
+    "bpe_token_count",
     "quality_score",
     "lang_id",
     "fingerprint",
     "STOPWORDS",
     "LANG_STOPWORDS",
     "FP_MOD",
+    "BPE_ISH_PATTERN",
 ]
+
+# GPT-2-pretokenizer shape (letter runs | digit runs | punctuation runs)
+# restricted to ASCII classes so the Java (Spark) and RE2 (DuckDB) regex
+# dialects agree byte-for-byte
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 STOPWORDS = ["the", "of", "and", "to", "a", "in", "is", "it", "that", "for"]
 
@@ -58,6 +65,20 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.length(text_col) - n + 1) / n.cast("double"), 5
         ).alias("avg_token_len"),
         F.round(n_stop / n.cast("double"), 5).alias("stopword_ratio"),
+    )
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish pretokenizer
+    regex (the shape BPE vocabularies are trained over). Pure JVM
+    ``regexp_extract_all`` -- no Python in the scan."""
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    return df.select(
+        "doc_id",
+        F.size(_tokens(text_col)).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
     )
 
 
