@@ -82,7 +82,9 @@ def pages_table(
     ts_ms = (
         F.lit(EPOCH_START_MS)
         + _h(F.col("url_id"), seed + 4) % base_gap
-        + F.col("k") * base_gap
+        # k is INT (from sequence); widen before the ms-scale multiply or
+        # snapshot counts >= ~50 overflow int32 under ANSI mode
+        + F.col("k").cast("long") * base_gap
         + jitter
     )
     # deterministic page body: words picked by hash of (url, k, slot)
