@@ -196,12 +196,14 @@ def sample_closest(
     useClosestInWindow=true): at each grid point ``first_ts + k*rate`` take
     the value of the entry starting closest to the point within
     ``[p - rate/2, p + rate/2)``, falling back to the entry defined at the
-    point. The look-around rule has no relational equivalent, so this runs
-    the exact kernel per series."""
+    point. The look-around rule has no relational equivalent; the kernel is
+    the VECTORIZED declarative restatement of the sequential cursor
+    (kernel.sample.sample_arrays_closest, pinned against the sequential
+    sampler by fuzz and against DuckDB by the ts_sample_closest oracle)."""
     import pandas as pd
 
     from ..kernel.fitter import fit
-    from ..kernel.sample import sample
+    from ..kernel.sample import sample_arrays_closest
     from ._kernel import apply_per_series
 
     key_fields = [df.schema[k] for k in key_cols]
@@ -215,12 +217,16 @@ def sample_closest(
     )
 
     def _sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        entries = list(
-            zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
+        ts = pdf["ts"].to_numpy()
+        g, v, d = sample_arrays_closest(
+            ts, pdf["value"].to_numpy(), pdf["validity"].to_numpy(),
+            int(ts[0]), rate,
         )
-        out = sample(entries, entries[0][0], rate, use_closest=True)
         if compress:
-            out = fit(out, compress=True)
-        return pd.DataFrame(out, columns=["ts", "value", "validity"])
+            fitted = fit(list(zip(g, v, d)), compress=True)
+            g = [e[0] for e in fitted]
+            v = [e[1] for e in fitted]
+            d = [e[2] for e in fitted]
+        return pd.DataFrame({"ts": g, "value": v, "validity": d})
 
     return apply_per_series(df, key_cols, _sample, out_schema)

@@ -285,3 +285,25 @@ class TestSlidingStd:
             lo = max(0, i - rows_back)
             w = value[lo : i + 1]
             assert abs(v - float(np.std(w))) < 1e-9, (i, t)
+
+
+class TestSampleClosestVectorized:
+    def test_matches_sequential_kernel(self):
+        rng = np.random.default_rng(19)
+        for _ in range(300):
+            n = int(rng.integers(1, 40))
+            ts = 100 + np.cumsum(rng.integers(1, 50, n)) * 10
+            validity = rng.integers(1, 60, n) * 10
+            value = rng.integers(0, 6, n).astype(float)
+            es = kfitter.fit(
+                list(zip(ts.tolist(), value.tolist(), validity.tolist()))
+            )
+            if not es:
+                continue
+            rate = int(rng.integers(1, 40)) * 10
+            seq = ksample.sample(es, es[0][0], rate, use_closest=True)
+            g, v, d = ksample.sample_arrays_closest(
+                [e[0] for e in es], [e[1] for e in es], [e[2] for e in es],
+                es[0][0], rate,
+            )
+            assert list(zip(g, v, d)) == seq
