@@ -115,17 +115,21 @@ class TierPipeline:
             "p_salt", F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
         )
 
+    @staticmethod
+    def _lo_map(lows: dict[int, int]):
+        """salt -> lower-bound map literal; missing salts read as -inf so
+        they pass every bound (one map-lookup expression per row, instead
+        of an n_salt-way boolean chain)."""
+        pairs = [x for s, lo in lows.items() for x in (F.lit(s), F.lit(lo))]
+        lookup = F.create_map(*pairs) if pairs else F.create_map()
+        return lambda salt_col: F.coalesce(
+            F.element_at(lookup, salt_col.cast("int")), F.lit(-(1 << 62))
+        )
+
     def _per_salt_bucket_filter(self, lows: dict[int, int]):
         """bucket >= lows[salt] per key-salt, True for salts without a low."""
         salt_col = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
-        keep = None
-        for s in range(self.n_salt):
-            lo = lows.get(s)
-            cond = (salt_col == s) & (
-                F.lit(True) if lo is None else (F.col("bucket") >= F.lit(lo))
-            )
-            keep = cond if keep is None else (keep | cond)
-        return keep
+        return F.col("bucket") >= self._lo_map(lows)(salt_col)
 
     def update(self, entries: DataFrame, run_id: str | None = None) -> dict:
         """Process new entries incrementally; returns the lineage record.
@@ -167,16 +171,10 @@ class TierPipeline:
             for name in names
         }
         if changed_from:
-            lo_expr = None
-            for s in range(self.n_salt):
-                lo = lows[finest].get(s)
-                cond = (F.col("p_salt") == s) & (
-                    F.lit(True)
-                    if lo is None
-                    else (F.col("ts") + F.col("validity") > F.lit(lo))
-                )
-                lo_expr = cond if lo_expr is None else (lo_expr | cond)
-            new_entries = salted_in.filter(lo_expr)
+            bound = self._lo_map(lows[finest])(F.col("p_salt"))
+            new_entries = salted_in.filter(
+                F.col("ts") + F.col("validity") > bound
+            )
         else:
             new_entries = salted_in
 
