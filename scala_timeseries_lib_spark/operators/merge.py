@@ -206,6 +206,7 @@ def merge_series_n(
     (defined only where all k sides are). One shuffle total: all sides are
     unioned with a side tag and grouped once.
     """
+    import numpy as np
     import pandas as pd
 
     from ..kernel.merge import merge_apply_numeric_n
@@ -220,21 +221,46 @@ def merge_series_n(
             StructField("validity", LongType()),
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
 
-    from ._kernel import apply_per_series
+    from ._kernel import apply_per_bucket
 
-    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # same offset-packing as merge_series: disjoint per-series time
+        # regions let one k-sided vectorized call handle the whole bucket
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        keys = pdf[key_cols]
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
+        )
+        ts = pdf["ts"].to_numpy(np.int64)
+        dur = pdf["validity"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.float64)
+        side = pdf["side"].to_numpy()
+        base = int(ts.min())
+        stride = int((ts + dur).max()) - base + 1
+        packed = codes.astype(np.int64) * stride + (ts - base)
         sides = []
         for i in range(n_sides):
-            s = pdf[pdf["side"] == i]
-            sides.append(
-                (s["ts"].to_numpy(), s["value"].to_numpy(), s["validity"].to_numpy())
-            )
-        ts, value, validity = merge_apply_numeric_n(sides, op=op, compress=compress)
-        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
+            m = side == i
+            order = np.argsort(packed[m], kind="stable")
+            sides.append((packed[m][order], val[m][order], dur[m][order]))
+        m_ts, m_val, m_dur = merge_apply_numeric_n(sides, op=op, compress=compress)
+        idx = m_ts // stride
+        key_vals = (
+            uniques[idx].to_frame(index=False)
+            if len(key_cols) > 1
+            else pd.DataFrame({key_cols[0]: uniques[idx]})
+        )
+        key_vals.columns = key_cols
+        out = pd.DataFrame(
+            {"ts": m_ts % stride + base, "value": m_val, "validity": m_dur}
+        )
+        return pd.concat([key_vals.reset_index(drop=True), out], axis=1)[out_names]
 
     tagged = None
     for i, df in enumerate(dfs):
         part = df.select(*key_cols, "ts", "value", "validity", F.lit(i).alias("side"))
         tagged = part if tagged is None else tagged.unionByName(part)
-    return apply_per_series(tagged, key_cols, _merge, out_schema)
+    return apply_per_bucket(tagged, key_cols, _merge_bucket, out_schema)
