@@ -241,14 +241,41 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         ]
     )
 
-    from scala_timeseries_lib_spark.operators._kernel import apply_per_series
+    import numpy as np
 
-    def _roundtrip(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ents = list(zip(pdf["ts"], pdf["value"], pdf["validity"]))
-        decoded = decompress_tuple_block(compress_tuple_block(ents, compress=False))
-        return pd.DataFrame(decoded, columns=["ts", "value", "validity"])
+    from scala_timeseries_lib_spark.operators._kernel import apply_per_bucket
 
-    return apply_per_series(entries, KEYS, _roundtrip, schema)
+    def _roundtrip_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the codec round-trip is 1:1 and order-preserving, so the key
+        # columns pass through untouched; one frame per bucket, no
+        # per-series pandas objects
+        if len(pdf) == 0:
+            return pdf
+        pdf = pdf.sort_values([*KEYS, "ts"], kind="mergesort", ignore_index=True)
+        codes, _u = pd.factorize(pd.MultiIndex.from_frame(pdf[KEYS]))
+        ts = pdf["ts"].to_numpy()
+        val = pdf["value"].to_numpy()
+        dur = pdf["validity"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], codes.size]
+        o_t, o_v, o_d = [], [], []
+        for s0, s1 in zip(starts, ends):
+            ents = list(
+                zip(ts[s0:s1].tolist(), val[s0:s1].tolist(), dur[s0:s1].tolist())
+            )
+            for t, v, d in decompress_tuple_block(
+                compress_tuple_block(ents, compress=False)
+            ):
+                o_t.append(t)
+                o_v.append(v)
+                o_d.append(d)
+        out = pdf[KEYS].copy()
+        out["ts"] = o_t
+        out["value"] = o_v
+        out["validity"] = o_d
+        return out
+
+    return apply_per_bucket(entries, KEYS, _roundtrip_bucket, schema)
 
 
 def _ab(spark, sf_dir):

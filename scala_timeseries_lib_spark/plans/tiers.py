@@ -1,10 +1,12 @@
 """Continuous-aggregate retention tiers: raw entries -> 1m -> 1h -> 1d.
 
-Each tier is a parquet table (Iceberg when a runtime jar is available; the
-storage layer is a thin interface -- see ``storage.py``) of rolled-up
-points carrying reaggregatable sufficient statistics, so every coarser tier
-is computed from the previous tier without touching raw data
-(wsum/dur/min/max are associative).
+Each tier is a partitioned parquet table of rolled-up points carrying
+reaggregatable sufficient statistics, so every coarser tier is computed
+from the previous tier without touching raw data (wsum/dur/min/max are
+associative). The write path is plain ``DataFrameWriter`` with dynamic
+partition overwrite: pointing it at an Iceberg catalog table is a
+one-line swap when a runtime jar is present (none ships in this sandbox),
+and the partition spec carries over unchanged.
 
 Incremental maintenance: each run processes, per key-salt partition, only
 entries whose domain reaches past that partition's checkpointed watermark
