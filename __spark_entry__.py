@@ -334,13 +334,18 @@ DYN_START, DYN_STOP = 150.0, 50.0
 def _q_dynamic_window(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from scala_timeseries_lib_spark.operators.window import dynamic_window_exact
+    from scala_timeseries_lib_spark.operators.window import (
+        dynamic_window_relational,
+    )
 
-    out = dynamic_window_exact(
+    # column predicates -> the pure-Catalyst sessionization path;
+    # dynamic_window_exact (kernel) handles arbitrary Python predicates and
+    # is pinned equivalent in tests/test_spark_operators.py
+    out = dynamic_window_relational(
         _entries(spark, sf_dir),
         KEYS,
-        start_pred=lambda e: e[1] >= DYN_START,
-        stop_pred=lambda e: e[1] < DYN_STOP,
+        start_expr=F.col("value") >= DYN_START,
+        stop_expr=F.col("value") < DYN_STOP,
         agg="mean",
     )
     return out.withColumn("value", F.round("value", 5))

@@ -23,6 +23,7 @@ __all__ = [
     "sliding_grid_agg",
     "sliding_window_exact",
     "dynamic_window_exact",
+    "dynamic_window_relational",
     "sample_closest",
 ]
 
@@ -184,6 +185,64 @@ def dynamic_window_exact(
         )
 
     return apply_per_series(df, key_cols, _dyn, out_schema)
+
+
+def dynamic_window_relational(
+    df: DataFrame,
+    key_cols: list[str],
+    start_expr,
+    stop_expr,
+    agg: str = "mean",
+    timeunit: str = "ms",
+) -> DataFrame:
+    """dynamicWindow (WindowSlider.scala:286-319) for COLUMN predicates --
+    100% Catalyst, no Python: a window opens at the first entry satisfying
+    ``start and not stop`` and extends until the next entry satisfying
+    ``stop``. Sessionization is the flag + cumulative-stop-count pattern:
+    the running count of prior stop rows is the session id, sessions keep
+    their non-stop rows from the first start row on, and one entry per
+    session spans its loose domain.
+
+    ``agg``: mean (time-weighted) | sum | min | max | integral. For
+    arbitrary Python predicates use dynamic_window_exact (same semantics,
+    kernel-based; equivalence pinned in tests)."""
+    from ..kernel.integral import seconds_factor
+
+    w_ord = Window.partitionBy(*key_cols).orderBy("ts")
+    flagged = df.withColumn("_stp", stop_expr.cast("int")).withColumn(
+        "_strt", (start_expr & ~stop_expr).cast("int")
+    )
+    seg = F.coalesce(
+        F.sum("_stp").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    flagged = flagged.withColumn("_seg", seg).filter(F.col("_stp") == 0)
+    w_seg = Window.partitionBy(*key_cols, "_seg")
+    wstart = F.min(F.when(F.col("_strt") == 1, F.col("ts"))).over(w_seg)
+    rows_in = flagged.withColumn("_wstart", wstart).filter(
+        F.col("_wstart").isNotNull() & (F.col("ts") >= F.col("_wstart"))
+    )
+    v, d = F.col("value"), F.col("validity")
+    if agg == "mean":
+        expr = F.sum(v * d) / F.sum(d)
+    elif agg == "sum":
+        expr = F.sum(v)
+    elif agg == "min":
+        expr = F.min(v)
+    elif agg == "max":
+        expr = F.max(v)
+    elif agg == "integral":
+        expr = F.sum(v * d * F.lit(seconds_factor(timeunit)))
+    else:
+        raise ValueError(f"unknown agg {agg!r}")
+    return rows_in.groupBy(*key_cols, "_wstart").agg(
+        expr.alias("value"),
+        (F.max(F.col("ts") + d) - F.first("_wstart")).alias("validity"),
+    ).withColumnRenamed("_wstart", "ts").select(
+        *key_cols, "ts", "value", "validity"
+    )
 
 
 def sample_closest(

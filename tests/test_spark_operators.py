@@ -307,3 +307,34 @@ class TestSampleClosestVectorized:
                 es[0][0], rate,
             )
             assert list(zip(g, v, d)) == seq
+
+
+class TestDynamicWindowRelational:
+    def test_matches_exact_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from scala_timeseries_lib_spark.operators.window import (
+            dynamic_window_exact,
+            dynamic_window_relational,
+        )
+
+        rng = np.random.default_rng(43)
+        series = {
+            f"k{i}": kfitter.fit(random_series(rng, 50)) for i in range(4)
+        }
+        df = make_df(spark, series)
+        lo, hi = 1.0, 4.0
+        rel = dynamic_window_relational(
+            df, ["key"],
+            start_expr=F.col("value") >= hi,
+            stop_expr=F.col("value") < lo,
+            agg="mean",
+        )
+        ex = dynamic_window_exact(
+            df, ["key"],
+            start_pred=lambda e: e[1] >= hi,
+            stop_pred=lambda e: e[1] < lo,
+            agg="mean",
+        )
+        for k in series:
+            assert collect_series(rel, k) == collect_series(ex, k), k
