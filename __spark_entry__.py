@@ -547,6 +547,12 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_embs(spark, sf_dir), query_ids=list(range(8)), k=3)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_embs(spark, sf_dir), query_ids=list(range(8)), k=3)
+
+
 def _q_emb_neardup(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.similarity import (
         embedding_neardup_pairs,
@@ -601,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_cosine": _q_knn,
         "sim_lsh_buckets": _q_lsh_buckets,
         "sim_ann_lsh_topk": _q_ann_lsh,
+        "sim_ann_ivf_topk": _q_ann_ivf,
         "mm_binary_meta": _q_mm_meta,
         "ts_entries": _q_entries,
         "ts_slice": _q_slice,
@@ -1392,6 +1399,42 @@ scored AS (
     SELECT q.query_id, c.vec_id AS cand_id,
            ROUND({cos.format(q='q.q_emb', c='c.emb')}, 4) AS sim
     FROM wb c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+        "sim_ann_ivf_topk": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS centroid, emb AS c_emb FROM base WHERE vec_id < 8),
+asn AS (
+    SELECT vec_id, centroid FROM (
+        SELECT b.vec_id, c.centroid,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY ROUND({cos.format(q='b.emb', c='c.c_emb')}, 6) DESC,
+                            c.centroid) AS rnk
+        FROM base b, cents c
+    ) WHERE rnk = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 8),
+probes AS (
+    SELECT query_id, q_emb, centroid FROM (
+        SELECT q.query_id, q.q_emb, c.centroid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND({cos.format(q='q.q_emb', c='c.c_emb')}, 6) DESC,
+                            c.centroid) AS rnk
+        FROM q, cents c
+    ) WHERE rnk <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           ROUND({cos.format(q='p.q_emb', c='b.emb')}, 4) AS sim
+    FROM asn a
+    JOIN base b USING (vec_id)
+    JOIN probes p ON a.centroid = p.centroid
+    WHERE a.vec_id != p.query_id
 )
 SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
