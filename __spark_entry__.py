@@ -441,6 +441,16 @@ def _q_fill_const(spark, sf_dir):
     return ops.fill_gaps_constant(_entries(spark, sf_dir), KEYS, FILL_CONST)
 
 
+def _q_sliding_median_1h(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators.window import sliding_grid_agg
+
+    grid = _sampled_filled(spark, sf_dir)
+    out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="median")
+    return out.withColumn("value", F.round("value", 5))
+
+
 MAP_FILTER_THRESHOLD = 50.0
 
 
@@ -588,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sliding_min_1h": _q_sliding_min_1h,
         "ts_sliding_max_1h": _q_sliding_max_1h,
         "ts_sliding_std_1h": _q_sliding_std_1h,
+        "ts_sliding_median_1h": _q_sliding_median_1h,
         "ts_map_filter": _q_map_filter,
         "ts_strict_zip": _q_strict_zip,
         "ts_fill_const": _q_fill_const,
@@ -1034,6 +1045,15 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
         + f"""
 SELECT user_id, event_type, ts, ROUND(value * 1.5 + 1.0, 5) AS value, validity
 FROM entries WHERE value >= {MAP_FILTER_THRESHOLD}
+""",
+        "ts_sliding_median_1h": ENTRIES_CTE + filled_cte + sample_cte
+        + f"""
+SELECT user_id, event_type, ts,
+       ROUND(quantile_cont(value, 0.5) OVER w, 5) AS value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM sampled
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+             RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)
 """,
         "ts_strict_zip": _strict_zip_sql(),
         "ts_at_probes": ENTRIES_CTE

@@ -45,7 +45,8 @@ def sliding_grid_agg(
     rule, WindowSlider.scala:226-228).
 
     ``agg``: integral | mean (time-weighted) | std (time-weighted biased,
-    BasicAggregators.scala:71-96) | sum | min | max.
+    BasicAggregators.scala:71-96) | sum | min | max | median (exact, the
+    queueAggregator case).
     """
     from ..kernel.integral import seconds_factor
 
@@ -70,6 +71,20 @@ def sliding_grid_agg(
         expr = F.min(v).over(w)
     elif agg == "max":
         expr = F.max(v).over(w)
+    elif agg == "median":
+        # the queueAggregator case (whole-window contents, Aggregator.scala:
+        # 60-63): exact median from the sorted frame contents -- JVM-side
+        # collect_list over the frame, no Python
+        arr = F.sort_array(F.collect_list(v).over(w))
+        n = F.size(arr)
+        mid_hi = (n / 2 + 1).cast("int")
+        mid_lo = ((n + 1) / 2).cast("int")
+        expr = F.when(
+            n % 2 == 1, F.element_at(arr, mid_lo)
+        ).otherwise(
+            (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, mid_hi))
+            / 2.0
+        )
     else:
         raise ValueError(f"unknown agg {agg!r}")
     return grid.withColumn("value", expr)
