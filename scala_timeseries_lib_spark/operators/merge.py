@@ -32,6 +32,7 @@ def merge_series(
     key_cols: list[str],
     op: str = "plus",
     compress: bool = True,
+    time_slice: int | None = None,
 ) -> DataFrame:
     """Merge two entries tables series-by-series with a numeric operator.
 
@@ -40,13 +41,38 @@ def merge_series(
     (TimeSeries.scala:277-328) or ``fallback`` (TimeSeries.scala:530-534).
     Keys present on only one side behave as merging with the empty series
     (strict ops yield nothing; non-strict ops pass the defined side through).
+
+    ``time_slice`` (ms) is the hot-series escape hatch: one series is
+    otherwise inherently sequential inside its kernel call, so a single
+    pathological key (a domain with billions of snapshots) would create a
+    straggler. With a slice width set, both sides are pre-split at absolute
+    ``k*time_slice`` boundaries JVM-side, each (key, slice) merges as an
+    independent group (the boundary-union merge is local in time), and a
+    relational gaps-and-islands pass re-merges equal contiguous runs across
+    slice borders -- the result is identical to the unsliced merge (pinned
+    by test). Requires ``compress=True`` (the border re-fit is an RLE).
     """
     import numpy as np
     import pandas as pd
 
     from ..kernel.merge import merge_apply_numeric
 
-    key_fields = [left.schema[k] for k in key_cols]
+    if time_slice is not None:
+        if not compress:
+            raise ValueError("time_slice requires compress=True")
+        from .series_ops import split_at_buckets
+
+        left = split_at_buckets(left, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        right = split_at_buckets(right, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        group_cols = [*key_cols, "_slice"]
+    else:
+        group_cols = key_cols
+
+    key_fields = [left.schema[k] for k in group_cols]
     out_schema = StructType(
         [
             *key_fields,
@@ -70,9 +96,9 @@ def merge_series(
         """
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        keys = pdf[key_cols]
+        keys = pdf[group_cols]
         codes, uniques = pd.factorize(
-            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
+            pd.MultiIndex.from_frame(keys) if len(group_cols) > 1 else keys.iloc[:, 0]
         )
         ts = pdf["ts"].to_numpy(np.int64)
         dur = pdf["validity"].to_numpy(np.int64)
@@ -100,10 +126,10 @@ def merge_series(
         )
         key_vals = (
             uniques[idx].to_frame(index=False)
-            if len(key_cols) > 1
-            else pd.DataFrame({key_cols[0]: uniques[idx]})
+            if len(group_cols) > 1
+            else pd.DataFrame({group_cols[0]: uniques[idx]})
         )
-        key_vals.columns = key_cols
+        key_vals.columns = group_cols
         return pd.concat(
             [key_vals.reset_index(drop=True), out], axis=1
         )[[f.name for f in out_schema.fields]]
@@ -112,11 +138,47 @@ def merge_series(
     # total, and it sidesteps Spark's self-cogroup attribute ambiguity when
     # both inputs share lineage (two filters of the same parent DataFrame)
     tagged = left.select(
-        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+        *group_cols, "ts", "value", "validity", F.lit(0).alias("side")
     ).unionByName(
-        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+        right.select(*group_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
-    return apply_per_bucket(tagged, key_cols, _merge_bucket, out_schema)
+    merged = apply_per_bucket(tagged, group_cols, _merge_bucket, out_schema)
+    if time_slice is None:
+        return merged
+    return _rle_repair(merged.drop("_slice"), key_cols)
+
+
+def _rle_repair(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Relational gaps-and-islands RLE: merge adjacent contiguous equal-value
+    entries across slice borders (one window + one aggregation, JVM-side)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    prev_end = F.lag(F.col("ts") + F.col("validity")).over(w)
+    prev_val = F.lag("value").over(w)
+    brk = F.when(
+        prev_end.isNull()
+        | (prev_end != F.col("ts"))
+        | (prev_val != F.col("value")),
+        1,
+    ).otherwise(0)
+    island = F.sum(brk).over(
+        Window.partitionBy(*key_cols).orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*key_cols, "_island")
+        .agg(
+            F.min("ts").alias("ts"),
+            F.min("value").alias("value"),  # equal within an island
+            (F.max(F.col("ts") + F.col("validity")) - F.min("ts")).alias(
+                "validity"
+            ),
+        )
+        .drop("_island")
+    )
 
 
 def strict_zip_series(

@@ -338,3 +338,22 @@ class TestDynamicWindowRelational:
         )
         for k in series:
             assert collect_series(rel, k) == collect_series(ex, k), k
+
+
+class TestMergeTimeSliced:
+    @pytest.mark.parametrize("op", ["plus", "plus_strict", "fallback"])
+    def test_sliced_equals_unsliced(self, spark, op):
+        rng = np.random.default_rng(53)
+        left = {f"k{i}": kfitter.fit(random_series(rng, 60)) for i in range(3)}
+        right = {f"k{i}": kfitter.fit(random_series(rng, 45)) for i in range(2)}
+        ldf, rdf = make_df(spark, left), make_df(spark, right)
+        plain = merge_series(ldf, rdf, ["key"], op=op)
+        sliced = merge_series(ldf, rdf, ["key"], op=op, time_slice=50_000)
+        for k in left:
+            assert collect_series(sliced, k) == collect_series(plain, k), (op, k)
+
+    def test_requires_compress(self, spark):
+        df = make_df(spark, {"k": [(1000, 1.0, 500)]})
+        with pytest.raises(ValueError):
+            merge_series(df, df, ["key"], op="plus", compress=False,
+                         time_slice=1000)
