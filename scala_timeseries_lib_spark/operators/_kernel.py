@@ -4,11 +4,14 @@
 Web-scale series tables have millions of small series, so grouping by the
 raw series key would be dominated by that overhead. Instead we group by
 ``hash(key) % n_buckets`` -- every UDF call receives a whole bucket of
-series and fans out to the per-series kernel with cheap pandas groupby.
-This is also exactly the salted-repartition scheme the north rule asks for:
-the shuffle key is the salt bucket, so hot keys cannot create a straggler
-partition larger than ``1/n_buckets`` of the data (plus AQE skew splitting
-underneath).
+series and fans out to the kernel (vectorized across the bucket where the
+kernel supports it). This is the salted-repartition scheme the north rule
+asks for: many small series cannot pile up behind one another, and AQE
+skew splitting applies underneath. A single pathological SERIES still
+lands in one bucket (its kernel is order-dependent); the escape hatch for
+that shape is time-slicing -- see ``merge_series(time_slice=...)``, which
+splits the series at absolute time boundaries and repairs the RLE at the
+borders relationally.
 """
 
 from __future__ import annotations
