@@ -207,8 +207,11 @@ def _q_series_stats(spark, sf_dir):
 
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
+    # epsilon-floor rounding (same rule as value_stats) to kill cross-engine
+    # half-up tie-break divergence on the ratio
     return ops.series_stats(_entries(spark, sf_dir), KEYS).withColumn(
-        "support_ratio", F.round("support_ratio", 5)
+        "support_ratio",
+        F.floor(F.col("support_ratio") * 100000 + 0.5 + 1e-6) / 100000,
     )
 
 
@@ -226,8 +229,8 @@ def _q_gorilla_roundtrip(spark, sf_dir):
     )
 
     from scala_timeseries_lib_spark.kernel.gorilla import (
-        compress_tuple_block,
-        decompress_tuple_block,
+        compress_tuple_block_arrays,
+        decompress_tuple_block_arrays,
     )
 
     entries = _entries(spark, sf_dir)
@@ -260,19 +263,18 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         ends = np.r_[starts[1:], codes.size]
         o_t, o_v, o_d = [], [], []
         for s0, s1 in zip(starts, ends):
-            ents = list(
-                zip(ts[s0:s1].tolist(), val[s0:s1].tolist(), dur[s0:s1].tolist())
+            t, v, d = decompress_tuple_block_arrays(
+                compress_tuple_block_arrays(
+                    ts[s0:s1], val[s0:s1], dur[s0:s1], compress=False
+                )
             )
-            for t, v, d in decompress_tuple_block(
-                compress_tuple_block(ents, compress=False)
-            ):
-                o_t.append(t)
-                o_v.append(v)
-                o_d.append(d)
+            o_t.append(t)
+            o_v.append(v)
+            o_d.append(d)
         out = pdf[KEYS].copy()
-        out["ts"] = o_t
-        out["value"] = o_v
-        out["validity"] = o_d
+        out["ts"] = np.concatenate(o_t)
+        out["value"] = np.concatenate(o_v)
+        out["validity"] = np.concatenate(o_d)
         return out
 
     return apply_per_bucket(entries, KEYS, _roundtrip_bucket, schema)
@@ -485,10 +487,15 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+JACCARD_MAX_DF = 50  # posting-list prune: drop shingles in > this many docs
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, max_shingle_freq=JACCARD_MAX_DF
+    )
 
 
 def _q_minhash_sig(spark, sf_dir):
@@ -1095,12 +1102,23 @@ WHERE next_ts - (ts + validity) > 0
         "ts_sample_closest": _sample_closest_sql(),
         "ts_series_stats": ENTRIES_CTE
         + """
+, flagged AS (
+    SELECT *,
+           COALESCE(LEAD(ts) OVER w <= ts + validity, TRUE) AS contig,
+           NOT COALESCE(LEAD(value) OVER w = value
+                        AND LEAD(ts) OVER w <= ts + validity,
+                        FALSE) AS unmergeable
+    FROM entries
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+)
 SELECT user_id, event_type,
        MIN(ts) AS domain_start, MAX(ts + validity) AS domain_until,
-       COUNT(*) AS n_entries, SUM(validity) AS support_ms,
-       ROUND(SUM(validity) / CAST(MAX(ts + validity) - MIN(ts) AS DOUBLE), 5)
-           AS support_ratio
-FROM entries GROUP BY user_id, event_type
+       COUNT(*) AS n_entries, CAST(SUM(validity) AS BIGINT) AS support_ms,
+       FLOOR(SUM(validity) / CAST(MAX(ts + validity) - MIN(ts) AS DOUBLE)
+             * 100000 + 0.5 + 0.000001) / 100000 AS support_ratio,
+       BOOL_AND(contig) AS is_domain_continuous,
+       BOOL_AND(unmergeable) AS is_compressed
+FROM flagged GROUP BY user_id, event_type
 """,
         "ts_gorilla_roundtrip": entries_select,
         **_ts_extra_oracles(),
@@ -1283,17 +1301,23 @@ SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
 FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": shingle_cte
-        + """,
+        + f""",
+shp AS (
+    SELECT * FROM shh
+    WHERE h NOT IN (SELECT h FROM shh GROUP BY h
+                    HAVING COUNT(*) > {JACCARD_MAX_DF})
+),
+nshp AS (SELECT doc_id, COUNT(*) AS n_sh FROM shp GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM shp a JOIN shp b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, shared,
        ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) AS jaccard
 FROM pairs
-JOIN nsh na ON na.doc_id = doc_a
-JOIN nsh nb ON nb.doc_id = doc_b
+JOIN nshp na ON na.doc_id = doc_a
+JOIN nshp nb ON nb.doc_id = doc_b
 WHERE ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) >= 0.8
 """,
         "dedup_minhash_sig": sig_cte

@@ -73,16 +73,38 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs by exact n-gram Jaccard >= threshold.
 
-    Shuffles (doc_id, shingle-hash) ints; the pair aggregation is a second
-    shuffle on (doc_a, doc_b).
+    Posting-list pruning: shingles appearing in more than ``max_shingle_freq``
+    docs are removed from the shingle universe before the self-join -- both
+    the pair intersections AND the per-doc sizes use the pruned universe, so
+    ``jaccard`` stays a true Jaccard over informative shingles. Without the
+    cap a single ubiquitous shingle (boilerplate) emits |posting|^2 pairs;
+    with it, pair work is bounded by sum(min(freq, cap)^2) per shingle.
+
+    Shuffles: one on the shingle hash for the frequency count, reused by the
+    anti-join and the self-join (same key); one on (doc_a, doc_b) for the
+    pair aggregation; the size lookups are plain equi-joins on doc_id (AQE
+    picks the strategy -- sizes has one row per doc, unbounded at corpus
+    scale, so it is never force-broadcast).
     """
     sh = shingles(df, text_col, n).select(
         "doc_id", hash32(F.col("shingle")).alias("h")
     )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -92,9 +114,9 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        pairs.join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",

@@ -46,13 +46,15 @@ import struct
 
 import numpy as np
 
-from .fitter import fit
+from .fitter import fit, fit_arrays
 
 __all__ = [
     "compress_array",
     "decompress_array",
     "compress_tuple_block",
+    "compress_tuple_block_arrays",
     "decompress_tuple_block",
+    "decompress_tuple_block_arrays",
     "serialize_tuple_block",
     "deserialize_tuple_block",
     "compress_sampled_block",
@@ -533,12 +535,24 @@ def compress_tuple_block(entries, compress: bool = True) -> bytes:
     """Compress fitted (ts, double value, validity) entries into a serialized
     tuple GorillaBlock. Entries run through the fitter first, mirroring
     GorillaBlock.Builder (GorillaBlock.scala:208-300)."""
-    entries = fit(list(entries), compress=compress)
-    if not entries:
-        raise ValueError("cannot compress an empty series")
+    entries = list(entries)
     ts = np.array([e[0] for e in entries], dtype=np.int64)
     values = np.array([e[1] for e in entries], dtype=np.float64)
     validities = np.array([e[2] for e in entries], dtype=np.int64)
+    return compress_tuple_block_arrays(ts, values, validities, compress=compress)
+
+
+def compress_tuple_block_arrays(ts, values, validities, compress: bool = True) -> bytes:
+    """Array-native tuple-block encode: (int64 ts, float64 value, int64
+    validity) arrays in, serialized block out. Same semantics as
+    :func:`compress_tuple_block` (vectorized fitter + two GorillaArrays)
+    with zero per-entry Python objects -- the hot path for Arrow batches."""
+    ts = np.asarray(ts, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    validities = np.asarray(validities, dtype=np.int64)
+    ts, values, validities = fit_arrays(ts, values, validities, compress=compress)
+    if ts.size == 0:
+        raise ValueError("cannot compress an empty series")
     value_bytes = compress_array(ts, values.view(np.uint64))
     validity_bytes = compress_array(ts, validities.astype(np.uint64))
     return serialize_tuple_block(value_bytes, validity_bytes)
@@ -566,6 +580,16 @@ def deserialize_tuple_block(data: bytes):
 
 def decompress_tuple_block(data: bytes):
     """Serialized tuple block -> list of (ts, double value, validity)."""
+    ts, values, validities = decompress_tuple_block_arrays(data)
+    return [
+        (int(t), float(v), int(d)) for t, v, d in zip(ts, values, validities)
+    ]
+
+
+def decompress_tuple_block_arrays(data: bytes):
+    """Array-native tuple-block decode: serialized block in, (int64 ts,
+    float64 values, int64 validities) numpy arrays out. The hot path --
+    feeds pandas columns directly without materializing tuple lists."""
     value_bytes, validity_bytes = deserialize_tuple_block(data)
     ts_v, vals = decompress_array(value_bytes)
     ts_d, validities = decompress_array(validity_bytes)
@@ -573,11 +597,7 @@ def decompress_tuple_block(data: bytes):
         raise ValueError(
             "The byte arrays in this block are not a valid compressed timeseries."
         )
-    values = vals.view(np.float64)
-    return [
-        (int(t), float(v), int(d))
-        for t, v, d in zip(ts_v, values, validities.astype(np.int64))
-    ]
+    return ts_v, vals.view(np.float64), validities.astype(np.int64)
 
 
 def compress_sampled_block(entries, sample_rate: int, compress: bool = True) -> bytes:

@@ -335,15 +335,39 @@ def value_stats(df: DataFrame, key_cols: list[str], round_to: int = 5) -> DataFr
 
 
 def series_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Per-series metadata: loose domain, support ratio, size, continuity
-    (TimeSeries.scala:510-545)."""
+    """Per-series metadata: loose domain, support ratio, size, continuity and
+    compression flags (TimeSeries.scala:88-91, 510-545).
+
+    ``is_domain_continuous`` mirrors TSEntryFitter.scala:38,60-63 (every
+    entry's end reaches the next entry's start); ``is_compressed`` is true
+    when no adjacent pair is still mergeable (equal values with touching or
+    overlapping domains, TSEntry.scala:187-199) -- i.e. the series is in the
+    canonical form the fitter would produce with ``compress=True``.
+
+    One shuffle total: the lead() window and the groupBy hash-partition on
+    the same keys, so Catalyst reuses the exchange.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    nxt_ts = F.lead("ts").over(w)
+    nxt_val = F.lead("value").over(w)
+    until = F.col("ts") + F.col("validity")
+    flagged = df.select(
+        *key_cols,
+        "ts",
+        "validity",
+        F.coalesce(nxt_ts <= until, F.lit(True)).alias("_contig"),
+        (~F.coalesce((nxt_val == F.col("value")) & (nxt_ts <= until),
+                     F.lit(False))).alias("_unmergeable"),
+    )
     w_until = F.max(_until())
-    return df.groupBy(*key_cols).agg(
+    return flagged.groupBy(*key_cols).agg(
         F.min("ts").alias("domain_start"),
         w_until.alias("domain_until"),
         F.count(F.lit(1)).alias("n_entries"),
         F.sum("validity").alias("support_ms"),
         (F.sum("validity") / (w_until - F.min("ts"))).alias("support_ratio"),
+        F.bool_and("_contig").alias("is_domain_continuous"),
+        F.bool_and("_unmergeable").alias("is_compressed"),
     )
 
 

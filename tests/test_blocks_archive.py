@@ -76,3 +76,67 @@ class TestBlocksTable:
         blocks = write_blocks(df, ["key"], bucket_ms=10_000_000, compress=False)
         total = blocks.agg(F.sum(F.length("block_bytes"))).collect()[0][0]
         assert total < n * 24 / 8  # > 8x compression
+
+
+class TestVectorizedEncodeEquivalence:
+    """The numpy block segmentation must be byte-equal to the sequential
+    TimeBucketer twin (bucket_entries_maxn + per-block codec)."""
+
+    @pytest.mark.parametrize("seed,compress", [(1, True), (2, False), (7, True)])
+    def test_blocks_match_sequential_twin(self, spark, seed, compress):
+        from scala_timeseries_lib_spark.kernel.bucket import (
+            bucket_entries_maxn,
+            bucket_generator,
+        )
+        from scala_timeseries_lib_spark.kernel.gorilla import compress_tuple_block
+
+        rng = np.random.default_rng(seed)
+        bucket_ms, max_n = 50_000, 7
+        series = {}
+        for i in range(4):
+            n = int(rng.integers(3, 120))
+            ts = 1_000_000 + np.cumsum(rng.integers(1, 40_000, n)).astype(np.int64)
+            value = rng.normal(0, 10, n).round(2)
+            # long validities straddle multiple buckets; occasional huge gaps
+            # leave empty buckets between blocks
+            validity = rng.integers(1, 120_000, n).astype(np.int64)
+            series[f"s{i}"] = fit(
+                list(zip(ts.tolist(), value.tolist(), validity.tolist())),
+                compress=False,
+            )
+        rows = [(k, t, v, d) for k, es in series.items() for t, v, d in es]
+        df = spark.createDataFrame(
+            rows, "key string, ts long, value double, validity long"
+        )
+        got = {
+            k: sorted(v)
+            for k, v in _group_blocks(
+                write_blocks(
+                    df, ["key"], bucket_ms=bucket_ms,
+                    max_entries_per_block=max_n, compress=compress,
+                ).collect()
+            ).items()
+        }
+        want = {}
+        for k, es in series.items():
+            origin = es[0][0] - es[0][0] % bucket_ms
+            blks = bucket_entries_maxn(
+                es, bucket_generator(origin, bucket_ms), max_n
+            )
+            want[k] = sorted(
+                (int(bs), int(bv), compress_tuple_block(bents, compress=compress),
+                 len(bents))
+                for bs, bents, bv in blks
+                if bents
+            )
+        assert got == want
+
+
+def _group_blocks(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["key"], []).append(
+            (r["block_start_ts"], r["block_validity"], bytes(r["block_bytes"]),
+             r["n_entries"])
+        )
+    return out

@@ -1,0 +1,111 @@
+"""Web-text dedup scale-safety tests.
+
+Pins the posting-list pruning contract of ``ngram_jaccard_pairs``: a
+ubiquitous ("hot") shingle must not blow the self-join up to |posting|^2
+pairs, and the pruned-universe Jaccard must match a brute-force Python
+computation of the same semantics.
+"""
+
+import itertools
+
+import pytest
+
+N_DOCS = 40
+
+
+def _mk_docs(spark):
+    """N_DOCS docs that all share one hot 3-gram; only docs 0 and 1 are
+    near-duplicates of each other once the hot shingle is pruned."""
+    hot = "the quick fox"
+    rows = []
+    for i in range(N_DOCS):
+        if i in (0, 1):
+            # near-dups: long shared tail, tiny difference
+            tail = " ".join(f"tok{j}" for j in range(30))
+            diff = "" if i == 0 else " extra"
+            rows.append((i, f"{hot} {tail}{diff}"))
+        else:
+            # unique content per doc plus the hot shingle
+            body = " ".join(f"u{i}w{j}" for j in range(10))
+            rows.append((i, f"{hot} {body}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_jaccard(texts, n=3, cap=None, threshold=0.0):
+    """Reference semantics: prune shingles with doc-freq > cap from the
+    universe, then exact Jaccard over the pruned sets."""
+    sets = {}
+    for doc_id, text in texts:
+        w = text.split(" ")
+        sets[doc_id] = {
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        } if len(w) >= n else set()
+    if cap is not None:
+        freq = {}
+        for s in sets.values():
+            for sh in s:
+                freq[sh] = freq.get(sh, 0) + 1
+        sets = {d: {sh for sh in s if freq[sh] <= cap} for d, s in sets.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold and inter > 0:
+            out[(a, b)] = (inter, inter / union)
+    return out
+
+
+def test_hot_shingle_cap_bounds_pairs(spark):
+    from scala_timeseries_lib_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _mk_docs(spark)
+
+    # uncapped: the hot shingle alone links every doc to every other doc ->
+    # the candidate-pair stage (threshold=0) is quadratic in N_DOCS
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_shingle_freq=None
+    ).count()
+    assert uncapped == N_DOCS * (N_DOCS - 1) // 2
+
+    # capped: the hot shingle is pruned; only genuinely-overlapping docs pair
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=5)
+    rows = {(r.doc_a, r.doc_b): (r.shared, r.jaccard) for r in capped.collect()}
+    assert set(rows) == {(0, 1)}
+    assert uncapped > 100 * len(rows)
+
+
+def test_capped_jaccard_matches_bruteforce(spark):
+    from scala_timeseries_lib_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _mk_docs(spark)
+    got = {
+        (r.doc_a, r.doc_b): (r.shared, round(r.jaccard, 5))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=5
+        ).collect()
+    }
+    want = {
+        k: (inter, round(round(j * 10**5 + 1e-9) / 10**5, 5))
+        for k, (inter, j) in _brute_jaccard(
+            [(i, t) for i, t in ((r.doc_id, r.text) for r in docs.collect())],
+            cap=5,
+            threshold=0.5,
+        ).items()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], k
+
+
+def test_threshold_filter_applies_to_pruned_sizes(spark):
+    """Sizes must be computed over the pruned universe: with the hot
+    shingle pruned, docs 0/1 have 30 vs 31 shingles and share 30 ->
+    jaccard = 30/31 ~ 0.9677 = shared/(shared+1)."""
+    from scala_timeseries_lib_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _mk_docs(spark)
+    out = ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.jaccard == pytest.approx(r.shared / (r.shared + 1), abs=1e-4)

@@ -84,6 +84,16 @@ def compare(sdf, odf):
     o = odf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
     for c in scols:
         sv, ov = s[c], o[c]
+        # the driver's value hash is representation-sensitive: a BIGINT on
+        # one side and a DOUBLE on the other hash differently even when
+        # numerically equal (54000000 vs 54000000.0). Flag the divergence
+        # instead of coercing it away (this masked the round-1
+        # ts_series_stats failure).
+        if pd.api.types.is_float_dtype(sv) != pd.api.types.is_float_dtype(ov):
+            return False, (
+                f"col {c} dtype divergence: spark={sv.dtype} vs "
+                f"oracle={ov.dtype} (driver hash is representation-sensitive)"
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = sv.astype(float).to_numpy()
             b = ov.astype(float).to_numpy()
