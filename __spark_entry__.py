@@ -362,11 +362,63 @@ def _q_sample_closest(spark, sf_dir):
     return sample_closest(sliced, KEYS, RATE_10M)
 
 
+def _round5(df):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "value", F.floor(F.col("value") * 100000 + 0.5 + 1e-6) / 100000
+    )
+
+
+def _q_sliding_exact_sum(spark, sf_dir):
+    """Reference-exact sliding sweep over RAW (irregular, holey) entries
+    (WindowSlider.scala:114-269): emission boundaries at every entry start
+    and every removal instant end+width, empty windows emitting sum=0.0.
+    No resampling -- this pins the whatToUpdate cursor itself. Values are
+    rounded before the RLE so both engines compress identical runs."""
+    from scala_timeseries_lib_spark.operators.merge import _rle_repair
+    from scala_timeseries_lib_spark.operators.window import sliding_window_exact
+
+    out = sliding_window_exact(
+        _entries(spark, sf_dir), KEYS, HOUR, agg="sum", compress=False
+    )
+    return _rle_repair(_round5(out), KEYS)
+
+
+def _q_sliding_exact_mean(spark, sf_dir):
+    """Exact sweep with a time-aware aggregator: closest-in-window resample
+    at RATE_10M (WindowSlider.scala:71-90) then the time-weighted mean over
+    the (possibly holey) resampled grid; empty windows are holes."""
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+    from scala_timeseries_lib_spark.operators.merge import _rle_repair
+    from scala_timeseries_lib_spark.operators.window import sliding_window_exact
+
+    sliced = ops.slice_series(_entries(spark, sf_dir), SLIDE_LO, SLIDE_HI)
+    out = sliding_window_exact(
+        sliced, KEYS, HOUR, agg="mean", sample_rate=RATE_10M, compress=False
+    )
+    return _rle_repair(_round5(out), KEYS)
+
+
 def _q_merge_minus(spark, sf_dir):
     from scala_timeseries_lib_spark.operators.merge import merge_series
 
     a, b = _ab(spark, sf_dir)
     return merge_series(a, b, ["user_id"], op="minus_strict")
+
+
+def _q_merge_minus_nonstrict(spark, sf_dir):
+    """Non-strict minus with per-side default fallbacks
+    (NumericTimeSeries.scala:37-45): a missing side takes its default, and
+    (None, None) holes inside the union span fill with ld - rd. Exercises
+    the valid-ranges masking of the offset-packed kernel (gap segments
+    between packed series regions must stay holes)."""
+    from scala_timeseries_lib_spark.operators.merge import merge_series
+
+    a, b = _ab(spark, sf_dir)
+    return merge_series(
+        a, b, ["user_id"], op="minus", left_default=0.0, right_default=0.0
+    )
 
 
 def _q_merge_multiply(spark, sf_dir):
@@ -600,8 +652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dynamic_window": _q_dynamic_window,
         "ts_sample_closest": _q_sample_closest,
         "ts_merge_minus": _q_merge_minus,
+        "ts_merge_minus_nonstrict": _q_merge_minus_nonstrict,
         "ts_merge_multiply": _q_merge_multiply,
         "ts_merge3_sum": _q_merge3_sum,
+        "ts_sliding_exact_sum": _q_sliding_exact_sum,
+        "ts_sliding_exact_mean": _q_sliding_exact_mean,
         "ts_sliding_min_1h": _q_sliding_min_1h,
         "ts_sliding_max_1h": _q_sliding_max_1h,
         "ts_sliding_std_1h": _q_sliding_std_1h,
@@ -700,6 +755,71 @@ GROUP BY user_id, island, value
 """
 
 
+def _sliding_exact_sql(source_cte: str, agg_expr: str, width: int) -> str:
+    """Declarative restatement of the exact sliding sweep
+    (WindowSlider.scala:114-269, kernel.window.window_sweep):
+
+    - emission boundaries are every entry start plus every removal instant
+      ``end + width``, clipped to the series' domain [min ts, max end];
+    - during segment [lo, hi) the window holds entries with
+      ``ts <= lo < end + width`` (added at ts, dropped at end + width);
+    - the per-segment aggregate (``agg_expr`` over the in-window rows;
+      NULL segments are holes) is epsilon-floor rounded, then contiguous
+      equal-valued runs are RLE-merged (TimeSeries.slidingWindow's fit).
+
+    ``source_cte`` must end with a CTE named ``src`` exposing
+    (user_id, event_type, ts, value, validity)."""
+    return f"""
+{source_cte},
+e AS (SELECT user_id, event_type, ts, value, validity,
+             ts + validity AS until FROM src),
+bnd AS (SELECT user_id, event_type, MIN(ts) AS lo0, MAX(ts + validity) AS hi0
+        FROM e GROUP BY user_id, event_type),
+raw_pts AS (
+    SELECT user_id, event_type, ts AS p FROM e
+    UNION SELECT user_id, event_type, until + {width} AS p FROM e
+    UNION SELECT user_id, event_type, hi0 AS p FROM bnd
+),
+pts AS (
+    SELECT r.user_id, r.event_type, r.p
+    FROM raw_pts r JOIN bnd b USING (user_id, event_type)
+    WHERE r.p >= b.lo0 AND r.p <= b.hi0
+),
+segs AS (
+    SELECT user_id, event_type, p AS lo,
+           LEAD(p) OVER (PARTITION BY user_id, event_type ORDER BY p) AS hi
+    FROM pts
+),
+vals AS (
+    SELECT s.user_id, s.event_type, s.lo, s.hi,
+           FLOOR(({agg_expr}) * 100000 + 0.5 + 0.000001) / 100000 AS value
+    FROM segs s
+    LEFT JOIN e ON e.user_id = s.user_id AND e.event_type = s.event_type
+        AND e.ts <= s.lo AND s.lo < e.until + {width}
+    WHERE s.hi IS NOT NULL
+    GROUP BY s.user_id, s.event_type, s.lo, s.hi
+),
+kept AS (SELECT * FROM vals WHERE value IS NOT NULL),
+islands AS (
+    SELECT user_id, event_type, lo, hi, value,
+           CASE WHEN LAG(hi) OVER w = lo AND LAG(value) OVER w = value
+                THEN 0 ELSE 1 END AS brk
+    FROM kept
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY lo)
+),
+grp AS (
+    SELECT user_id, event_type, lo, hi, value,
+           SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY lo)
+               AS island
+    FROM islands
+)
+SELECT user_id, event_type, MIN(lo) AS ts, value,
+       CAST(MAX(hi) - MIN(lo) AS BIGINT) AS validity
+FROM grp
+GROUP BY user_id, event_type, island, value
+"""
+
+
 def _sample_closest_sql() -> str:
     """Declarative restatement of the closest-in-window sampler
     (TimeSeries.scala:601-646, kernel.sample.sample): at each grid point p
@@ -712,6 +832,18 @@ def _sample_closest_sql() -> str:
     take rule once failed for a grid point (distance to the successor is
     monotone in p), so first-eligible-in-order equals the cursor's pick.
     """
+    return (
+        _sample_closest_cte()
+        + f"""
+SELECT user_id, event_type, p AS ts, value,
+       CAST({RATE_10M} AS BIGINT) AS validity
+FROM pick WHERE rn = 1
+"""
+    )
+
+
+def _sample_closest_cte() -> str:
+    """CTE chain ending in ``pick`` (rn = 1 rows are the sampled grid)."""
     half = RATE_10M // 2
     return f"""
 {ENTRIES_CTE},
@@ -752,9 +884,6 @@ pick AS (
                               ORDER BY j) AS rn
     FROM elig
 )
-SELECT user_id, event_type, p AS ts, value,
-       CAST({RATE_10M} AS BIGINT) AS validity
-FROM pick WHERE rn = 1
 """
 
 
@@ -993,6 +1122,13 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
         "ts_merge_minus": _merge_sql(
             "a_val - b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
         ),
+        "ts_merge_minus_nonstrict": _merge_sql(
+            "CASE WHEN a_val IS NOT NULL AND b_val IS NOT NULL "
+            "THEN a_val - b_val "
+            "WHEN a_val IS NOT NULL THEN a_val - 0.0 "
+            "WHEN b_val IS NOT NULL THEN 0.0 - b_val ELSE 0.0 END",
+            "TRUE",
+        ),
         "ts_merge_multiply": _merge_sql(
             "a_val * b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
         ),
@@ -1000,6 +1136,23 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
             "COALESCE(a_val, b_val)", "a_val IS NOT NULL OR b_val IS NOT NULL"
         ),
         "ts_merge3_sum": _merge3_sql(),
+        "ts_sliding_exact_sum": _sliding_exact_sql(
+            ENTRIES_CTE
+            + ", src AS (SELECT user_id, event_type, ts, value, validity "
+            "FROM entries)",
+            "COALESCE(SUM(e.value), 0.0)",
+            HOUR,
+        ),
+        "ts_sliding_exact_mean": _sliding_exact_sql(
+            _sample_closest_cte()
+            + f""", src AS (
+    SELECT user_id, event_type, p AS ts, value,
+           CAST({RATE_10M} AS BIGINT) AS validity
+    FROM pick WHERE rn = 1
+)""",
+            "SUM(e.value * e.validity) / SUM(e.validity)",
+            HOUR,
+        ),
         "ts_sliding_integral_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,

@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "fit",
     "fit_arrays",
+    "fit_arrays_grouped",
     "is_domain_continuous",
     "validate_timestamps",
 ]
@@ -102,6 +103,51 @@ def fit_arrays(ts, value, validity, compress: bool = True):
             (np.minimum(validity[:-1], ts[1:] - ts[:-1]), validity[-1:])
         )
     return ts, value, validity
+
+
+def fit_arrays_grouped(codes, ts, value, validity, compress: bool = True):
+    """Vectorized fitter over MANY series at once.
+
+    ``codes`` groups rows into series (ascending; ``ts`` ascending within
+    each code). Chain links and trims never cross a code change, so one
+    pass fits the whole batch -- per series this is exactly
+    :func:`fit_arrays` (pinned by test). Returns ``(keep_idx, ts, value,
+    validity)`` where ``keep_idx`` indexes the surviving rows of the input
+    (each surviving row is the first of its compression chain), letting
+    callers gather per-row payload such as key columns.
+    """
+    codes = np.asarray(codes, dtype=np.int64)
+    ts = np.asarray(ts, dtype=np.int64)
+    validity = np.asarray(validity, dtype=np.int64)
+    value = np.asarray(value)
+    n = ts.size
+    keep_idx = np.arange(n)
+    if n == 0:
+        return keep_idx, ts, value, validity
+    if np.any(validity <= 0):
+        raise ValueError("validity must be > 0")
+    same = codes[1:] == codes[:-1]
+    if np.any(same & (np.diff(ts) <= 0)):
+        raise ValueError("Timestamps must be strictly increasing")
+
+    if compress and n > 1:
+        link = same & (value[1:] == value[:-1]) & (ts[1:] <= ts[:-1] + validity[:-1])
+        link = np.asarray(link, dtype=bool)
+        first = np.concatenate(([True], ~link))
+        last = np.concatenate((~link, [True]))
+        seg_until = (ts + validity)[last]
+        keep_idx = keep_idx[first]
+        ts, value, codes = ts[first], value[first], codes[first]
+        validity = seg_until - ts
+        n = ts.size
+        same = codes[1:] == codes[:-1]
+
+    if n > 1:
+        trimmed = np.where(
+            same, np.minimum(validity[:-1], ts[1:] - ts[:-1]), validity[:-1]
+        )
+        validity = np.concatenate((trimmed, validity[-1:]))
+    return keep_idx, ts, value, validity
 
 
 def is_domain_continuous(ts, validity) -> bool:

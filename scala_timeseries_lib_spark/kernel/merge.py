@@ -27,6 +27,7 @@ __all__ = [
     "merge_entries",
     "merge_entries_n",
     "merge_apply_numeric",
+    "merge_apply_callable",
     "merge_apply_numeric_n",
     "strict_zip_arrays",
     "op_strict",
@@ -166,14 +167,63 @@ _NUMERIC_OPS = {
 }
 
 
+def _union_segments(a_ts, a_validity, b_ts, b_validity):
+    """Boundary-union elementary segments (lo, hi) plus each side's
+    (defined, value-index) lookup helper inputs."""
+    pts = np.unique(
+        np.concatenate([a_ts, a_ts + a_validity, b_ts, b_ts + b_validity])
+    )
+    return pts[:-1], pts[1:]
+
+
+def _side_at(ts, val, validity, lo):
+    if ts.size == 0:
+        return np.zeros(lo.size, bool), np.full(lo.size, np.nan)
+    idx = np.searchsorted(ts, lo, side="right") - 1
+    ok = idx >= 0
+    idxc = np.clip(idx, 0, ts.size - 1)
+    defined = ok & (lo < ts[idxc] + validity[idxc])
+    return defined, np.where(defined, val[idxc], np.nan)
+
+
+def _mask_outside_ranges(res, lo, hi, valid_ranges):
+    """Force segments not fully inside any [start, end) window to hole.
+
+    Used by the offset-packed dispatch: ops that can produce a value on an
+    (undefined, undefined) segment (non-strict minus with both defaults, an
+    arbitrary callable) must not emit anything in the artificial gaps
+    BETWEEN packed series regions, nor let RLE compression bridge them."""
+    if valid_ranges is None:
+        return res
+    starts, ends = valid_ranges
+    idx = np.searchsorted(starts, lo, side="right") - 1
+    ok = idx >= 0
+    idxc = np.clip(idx, 0, starts.size - 1)
+    inside = ok & (hi <= ends[idxc])
+    return np.where(inside, res, np.nan)
+
+
 def merge_apply_numeric(
-    a_ts, a_val, a_validity, b_ts, b_val, b_validity, op: str, compress: bool = True
+    a_ts, a_val, a_validity, b_ts, b_val, b_validity, op: str,
+    compress: bool = True,
+    left_default: float | None = None,
+    right_default: float | None = None,
+    valid_ranges=None,
 ):
     """Vectorized binary merge for float64 values.
 
-    ``op`` is one of ``plus_strict|plus|minus_strict|multiply_strict|fallback``.
-    Undefined results are encoded as NaN segments and dropped. Returns fitted
-    ``(ts, value, validity)`` arrays.
+    ``op`` is one of ``plus_strict|plus|minus|minus_strict|multiply_strict|
+    fallback``. ``minus`` is the reference's non-strict subtraction with
+    optional per-side fallback defaults (NumericTimeSeries.scala:37-45):
+    where only one side is defined the other takes its default (hole if that
+    default is None); where neither is defined, ``left_default -
+    right_default`` when both are set, else a hole.
+
+    ``valid_ranges`` is an optional pair of sorted arrays (starts, ends) of
+    disjoint windows; segments outside every window become holes BEFORE
+    compression (see _mask_outside_ranges). Undefined results are encoded as
+    NaN segments and dropped. Returns fitted ``(ts, value, validity)``
+    arrays.
     """
     a_ts = np.asarray(a_ts, np.int64)
     b_ts = np.asarray(b_ts, np.int64)
@@ -185,24 +235,70 @@ def merge_apply_numeric(
     if a_ts.size == 0 and b_ts.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
 
-    pts = np.unique(
-        np.concatenate([a_ts, a_ts + a_validity, b_ts, b_ts + b_validity])
-    )
-    lo = pts[:-1]
-    hi = pts[1:]
+    lo, hi = _union_segments(a_ts, a_validity, b_ts, b_validity)
+    da, va = _side_at(a_ts, a_val, a_validity, lo)
+    db, vb = _side_at(b_ts, b_val, b_validity, lo)
+    if op == "minus":
+        only_a = (
+            va - right_default if right_default is not None
+            else np.full(lo.size, np.nan)
+        )
+        only_b = (
+            left_default - vb if left_default is not None
+            else np.full(lo.size, np.nan)
+        )
+        neither = (
+            left_default - right_default
+            if left_default is not None and right_default is not None
+            else np.nan
+        )
+        res = np.where(
+            da & db, va - vb,
+            np.where(da, only_a, np.where(db, only_b, neither)),
+        )
+    else:
+        res = _NUMERIC_OPS[op](va, vb, da, db)
+    res = _mask_outside_ranges(res, lo, hi, valid_ranges)
+    keep = ~np.isnan(res)
+    from .fitter import fit_arrays
 
-    def side(ts, val, validity):
-        if ts.size == 0:
-            return np.zeros(lo.size, bool), np.zeros(lo.size, np.float64)
-        idx = np.searchsorted(ts, lo, side="right") - 1
-        ok = idx >= 0
-        idxc = np.clip(idx, 0, ts.size - 1)
-        defined = ok & (lo < ts[idxc] + validity[idxc])
-        return defined, np.where(defined, val[idxc], np.nan)
+    return fit_arrays(lo[keep], res[keep], (hi - lo)[keep], compress=compress)
 
-    da, va = side(a_ts, a_val, a_validity)
-    db, vb = side(b_ts, b_val, b_validity)
-    res = _NUMERIC_OPS[op](va, vb, da, db)
+
+def merge_apply_callable(
+    a_ts, a_val, a_validity, b_ts, b_val, b_validity, op,
+    compress: bool = True,
+    valid_ranges=None,
+):
+    """Binary merge with an arbitrary Python operator
+    ``op(a_value_or_None, b_value_or_None) -> float_or_None``
+    (TimeSeries.scala:261 ``merge``).
+
+    The boundary-union segmentation, per-side lookups, and compression are
+    all vectorized; only the operator itself runs per elementary segment
+    (inherent -- it is opaque Python). Returns fitted ``(ts, value,
+    validity)`` arrays; value type must be numeric (the DataFrame column is
+    double)."""
+    a_ts = np.asarray(a_ts, np.int64)
+    b_ts = np.asarray(b_ts, np.int64)
+    a_val = np.asarray(a_val, np.float64)
+    b_val = np.asarray(b_val, np.float64)
+    a_validity = np.asarray(a_validity, np.int64)
+    b_validity = np.asarray(b_validity, np.int64)
+
+    if a_ts.size == 0 and b_ts.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64))
+
+    lo, hi = _union_segments(a_ts, a_validity, b_ts, b_validity)
+    da, va = _side_at(a_ts, a_val, a_validity, lo)
+    db, vb = _side_at(b_ts, b_val, b_validity, lo)
+    out = [
+        op(a if d_a else None, b if d_b else None)
+        for a, b, d_a, d_b in zip(va.tolist(), vb.tolist(),
+                                  da.tolist(), db.tolist())
+    ]
+    res = np.array([np.nan if r is None else float(r) for r in out])
+    res = _mask_outside_ranges(res, lo, hi, valid_ranges)
     keep = ~np.isnan(res)
     from .fitter import fit_arrays
 

@@ -22,6 +22,7 @@ __all__ = [
     "sample",
     "sample_arrays_strict",
     "sample_arrays_closest",
+    "sample_arrays_closest_grouped",
     "split_longer_than",
     "fill",
 ]
@@ -144,6 +145,74 @@ def sample_arrays_closest(ts, value, validity, start: int, rate: int):
         g.tolist(),
         value[chosen[ok]].tolist(),
         np.full(g.size, rate, np.int64).tolist(),
+    )
+
+
+def sample_arrays_closest_grouped(codes, ts, value, validity, rate: int):
+    """Closest-in-window sampling over MANY series in one vectorized pass.
+
+    ``codes`` ascending, ``ts`` ascending within each code; each series'
+    grid starts at its own first timestamp. Offset packing gives every
+    series a disjoint int64 region of width ``span + rate/2 + 2`` so the
+    global searchsorted lookups are per-series exact (a grid probe
+    ``p + rate/2`` can never reach the next region); per series the result
+    equals :func:`sample_arrays_closest` (pinned by test).
+
+    Returns ``(out_codes, grid_ts, values, validities)`` numpy arrays, or
+    ``None`` when ``n_series * stride`` would overflow the packed axis
+    (callers fall back to the per-series kernel).
+    """
+    codes = np.asarray(codes, np.int64)
+    ts = np.asarray(ts, np.int64)
+    value = np.asarray(value)
+    validity = np.asarray(validity, np.int64)
+    n = ts.size
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                value[:0], np.empty(0, np.int64))
+    half = rate // 2
+    base = int(ts.min())
+    span = int((ts + validity).max()) - base
+    stride = span + half + 2
+    if (int(codes.max()) + 1) * stride >= 1 << 62:
+        return None
+    packed = codes * stride + (ts - base)
+
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], n]
+    first_p = packed[starts]
+    last_until = packed[ends - 1] + validity[ends - 1]
+    k = (last_until - 1 - first_p) // rate
+    ngrid = k + 1  # >= 1: every fitted entry has until > ts
+    total = int(ngrid.sum())
+    sidx = np.repeat(np.arange(starts.size), ngrid)
+    within = np.arange(total) - np.repeat(np.cumsum(ngrid) - ngrid, ngrid)
+    grid = first_p[sidx] + rate * within
+
+    # same candidate/take logic as sample_arrays_closest, on the packed axis
+    L = np.searchsorted(packed, grid, side="right") - 1
+    R = np.searchsorted(packed, grid + half, side="right") - 1
+    lo = np.clip(L, 0, None)
+    after = np.clip(np.searchsorted(packed, grid, side="left"), 0, n - 1)
+    cand_after = np.minimum(after, np.clip(R, 0, None))
+    d_lo = np.abs(packed[lo] - grid)
+    d_after = np.abs(packed[cand_after] - grid)
+    chosen = np.where(d_lo < d_after, lo, cand_after)
+
+    until = packed[chosen] + validity[chosen]
+    nxt = np.where(chosen + 1 < n, packed[np.minimum(chosen + 1, n - 1)], 0)
+    is_last = chosen == (ends - 1)[sidx]
+    take_last = grid < until
+    take_mid = ((grid < until) & (nxt > grid + half)) | (
+        np.abs(packed[chosen] - grid) < np.abs(nxt - grid)
+    )
+    ok = (R >= 0) & np.where(is_last, take_last, take_mid)
+    g = grid[ok]
+    return (
+        g // stride,
+        g % stride + base,
+        value[chosen[ok]],
+        np.full(g.size, rate, np.int64),
     )
 
 

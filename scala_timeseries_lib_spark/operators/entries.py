@@ -82,19 +82,33 @@ def fit_entries(df: DataFrame, key_cols: list[str], compress: bool = True) -> Da
 
     Input may be unsorted within a series; duplicates of ``ts`` must already
     be resolved. Output columns = key_cols + ENTRY_COLS.
+
+    The whole salt bucket fits in ONE vectorized pass (chain links and trims
+    never cross a series boundary, kernel.fitter.fit_arrays_grouped) -- no
+    per-series Python loop.
     """
     import pandas as pd
 
-    from ..kernel.fitter import fit_arrays
-    from ._kernel import apply_per_series
+    from ..kernel.fitter import fit_arrays_grouped
+    from ._kernel import apply_per_bucket
 
     out_schema = df.select(*key_cols, *ENTRY_COLS).schema
+    out_names = [f.name for f in out_schema.fields]
 
-    def _fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ts, value, validity = fit_arrays(
-            pdf["ts"].to_numpy(), pdf["value"].to_numpy(), pdf["validity"].to_numpy(),
-            compress=compress,
+    def _fit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
+                              ignore_index=True)
+        codes, _ = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        keep_idx, ts, value, validity = fit_arrays_grouped(
+            codes, pdf["ts"].to_numpy(), pdf["value"].to_numpy(),
+            pdf["validity"].to_numpy(), compress=compress,
         )
-        return pd.DataFrame({"ts": ts, "value": value, "validity": validity})
+        out = pdf.iloc[keep_idx][key_cols].reset_index(drop=True)
+        out["ts"] = ts
+        out["value"] = value
+        out["validity"] = validity
+        return out[out_names]
 
-    return apply_per_series(df, key_cols, _fit, out_schema)
+    return apply_per_bucket(df, key_cols, _fit_bucket, out_schema)

@@ -23,24 +23,55 @@ from pyspark.sql.types import (
 
 __all__ = ["merge_series", "merge_series_n", "strict_zip_series", "NUMERIC_OPS"]
 
-NUMERIC_OPS = ("plus", "plus_strict", "minus_strict", "multiply_strict", "fallback")
+NUMERIC_OPS = (
+    "plus", "plus_strict", "minus", "minus_strict", "multiply_strict", "fallback",
+)
+
+# offset packing maps (series_code, ts) to code*stride + (ts-base); past this
+# product the packed axis would overflow int64 (headroom of 2 bits kept)
+_PACK_LIMIT = 1 << 62
+
+
+def _pack_codes(codes, ts, dur):
+    """Disjoint per-series int64 time regions, or None when the bucket's
+    (n_series x time-span) product would overflow the packed axis -- callers
+    then fall back to a per-series loop (correct, just not batch-vectorized).
+    Millions of series x multi-year ms spans approach 2^63 silently without
+    this guard."""
+    import numpy as np
+
+    base = int(ts.min())
+    stride = int((ts + dur).max()) - base + 1
+    n_codes = int(codes.max()) + 1
+    if n_codes * stride >= _PACK_LIMIT:
+        return None, stride, base
+    return codes.astype(np.int64) * stride + (ts - base), stride, base
 
 
 def merge_series(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
-    op: str = "plus",
+    op="plus",
     compress: bool = True,
     time_slice: int | None = None,
+    left_default: float | None = None,
+    right_default: float | None = None,
 ) -> DataFrame:
-    """Merge two entries tables series-by-series with a numeric operator.
+    """Merge two entries tables series-by-series.
 
     ``op``: one of ``plus`` (non-strict, NumericTimeSeries.scala:18-26),
+    ``minus`` (non-strict with optional per-side defaults,
+    NumericTimeSeries.scala:37-45 -- ``left_default``/``right_default`` fill
+    the missing side; a hole where the needed default is None),
     ``plus_strict``/``minus_strict``/``multiply_strict``
-    (TimeSeries.scala:277-328) or ``fallback`` (TimeSeries.scala:530-534).
-    Keys present on only one side behave as merging with the empty series
-    (strict ops yield nothing; non-strict ops pass the defined side through).
+    (TimeSeries.scala:277-328), ``fallback`` (TimeSeries.scala:530-534), OR
+    an arbitrary Python callable ``(a_or_None, b_or_None) -> float_or_None``
+    (the reference's core ``merge`` API, TimeSeries.scala:261; segmentation
+    and compression stay vectorized, only the opaque operator runs per
+    elementary segment). Keys present on only one side behave as merging
+    with the empty series (strict ops yield nothing; non-strict ops pass the
+    defined side through).
 
     ``time_slice`` (ms) is the hot-series escape hatch: one series is
     otherwise inherently sequential inside its kernel call, so a single
@@ -55,11 +86,38 @@ def merge_series(
     import numpy as np
     import pandas as pd
 
-    from ..kernel.merge import merge_apply_numeric
+    from ..kernel.merge import merge_apply_callable, merge_apply_numeric
+
+    is_callable = callable(op)
+    if not is_callable and op not in NUMERIC_OPS:
+        raise ValueError(f"unknown op {op!r}; expected callable or {NUMERIC_OPS}")
+    # ops that may emit a value on an (undefined, undefined) segment need
+    # the per-series span windows so packed inter-region gaps stay holes
+    needs_ranges = is_callable or (
+        op == "minus" and left_default is not None and right_default is not None
+    )
+
+    def _kernel(a, b, valid_ranges=None):
+        if is_callable:
+            return merge_apply_callable(
+                *a, *b, op=op, compress=compress, valid_ranges=valid_ranges
+            )
+        return merge_apply_numeric(
+            *a, *b, op=op, compress=compress,
+            left_default=left_default, right_default=right_default,
+            valid_ranges=valid_ranges,
+        )
 
     if time_slice is not None:
         if not compress:
             raise ValueError("time_slice requires compress=True")
+        if needs_ranges:
+            raise ValueError(
+                "time_slice cannot be combined with an op that fills "
+                "(undefined, undefined) segments (callable op, or minus with "
+                "both defaults): holes crossing slice borders would not be "
+                "filled"
+            )
         from .series_ops import split_at_buckets
 
         left = split_at_buckets(left, time_slice).withColumnRenamed(
@@ -104,26 +162,60 @@ def merge_series(
         dur = pdf["validity"].to_numpy(np.int64)
         val = pdf["value"].to_numpy(np.float64)
         side = pdf["side"].to_numpy()
-        base = int(ts.min())
-        stride = int((ts + dur).max()) - base + 1
-        packed = codes.astype(np.int64) * stride + (ts - base)
+        packed, stride, base = _pack_codes(codes, ts, dur)
 
-        def pick(s):
-            m = side == s
-            order = np.argsort(packed[m], kind="stable")
-            return packed[m][order], val[m][order], dur[m][order]
+        if packed is None:
+            # packed axis would overflow int64: per-series loop (correct,
+            # just not batch-vectorized; forced time_slice also re-bounds
+            # the stride if this path ever dominates)
+            order = np.lexsort((ts, side, codes))
+            codes_s, ts_s = codes[order], ts[order]
+            val_s, dur_s, side_s = val[order], dur[order], side[order]
+            idx_parts, ts_p, val_p, dur_p = [], [], [], []
+            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+                sm = side_s[s0:s1] == 0
+                m_ts, m_val, m_dur = _kernel(
+                    (ts_s[s0:s1][sm], val_s[s0:s1][sm], dur_s[s0:s1][sm]),
+                    (ts_s[s0:s1][~sm], val_s[s0:s1][~sm], dur_s[s0:s1][~sm]),
+                )
+                ts_p.append(m_ts)
+                val_p.append(m_val)
+                dur_p.append(m_dur)
+                idx_parts.append(np.full(m_ts.size, codes_s[s0], np.int64))
+            m_ts = np.concatenate(ts_p)
+            out = pd.DataFrame(
+                {
+                    "ts": m_ts,
+                    "value": np.concatenate(val_p),
+                    "validity": np.concatenate(dur_p),
+                }
+            )
+            idx = np.concatenate(idx_parts)
+        else:
+            valid_ranges = None
+            if needs_ranges:
+                n_codes = int(codes.max()) + 1
+                span_lo = np.full(n_codes, np.iinfo(np.int64).max)
+                span_hi = np.full(n_codes, np.iinfo(np.int64).min)
+                np.minimum.at(span_lo, codes, packed)
+                np.maximum.at(span_hi, codes, packed + dur)
+                valid_ranges = (span_lo, span_hi)
 
-        m_ts, m_val, m_dur = merge_apply_numeric(
-            *pick(0), *pick(1), op=op, compress=compress
-        )
-        idx = m_ts // stride
-        out = pd.DataFrame(
-            {
-                "ts": m_ts % stride + base,
-                "value": m_val,
-                "validity": m_dur,
-            }
-        )
+            def pick(s):
+                m = side == s
+                order = np.argsort(packed[m], kind="stable")
+                return packed[m][order], val[m][order], dur[m][order]
+
+            m_ts, m_val, m_dur = _kernel(pick(0), pick(1), valid_ranges)
+            idx = m_ts // stride
+            out = pd.DataFrame(
+                {
+                    "ts": m_ts % stride + base,
+                    "value": m_val,
+                    "validity": m_dur,
+                }
+            )
         key_vals = (
             uniques[idx].to_frame(index=False)
             if len(group_cols) > 1
@@ -220,29 +312,54 @@ def strict_zip_series(
         dur = pdf["validity"].to_numpy(np.int64)
         val = pdf["value"].to_numpy(np.float64)
         side = pdf["side"].to_numpy()
-        base = int(ts.min())
-        stride = int((ts + dur).max()) - base + 1
-        packed = codes.astype(np.int64) * stride + (ts - base)
+        packed, stride, base = _pack_codes(codes, ts, dur)
 
-        def pick(s):
-            m = side == s
-            order = np.argsort(packed[m], kind="stable")
-            return packed[m][order], val[m][order], dur[m][order]
+        if packed is None:
+            # int64-overflow fallback: per-series loop
+            order = np.lexsort((ts, side, codes))
+            codes_s, ts_s = codes[order], ts[order]
+            val_s, dur_s, side_s = val[order], dur[order], side[order]
+            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+            idx_p, ts_p, za_p, zb_p, dur_p = [], [], [], [], []
+            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+                sm = side_s[s0:s1] == 0
+                z_ts, za, zb, z_dur = strict_zip_arrays(
+                    ts_s[s0:s1][sm], val_s[s0:s1][sm], dur_s[s0:s1][sm],
+                    ts_s[s0:s1][~sm], val_s[s0:s1][~sm], dur_s[s0:s1][~sm],
+                    compress=compress,
+                )
+                ts_p.append(z_ts)
+                za_p.append(za)
+                zb_p.append(zb)
+                dur_p.append(z_dur)
+                idx_p.append(np.full(z_ts.size, codes_s[s0], np.int64))
+            z_ts = np.concatenate(ts_p)
+            za, zb = np.concatenate(za_p), np.concatenate(zb_p)
+            z_dur = np.concatenate(dur_p)
+            idx = np.concatenate(idx_p)
+            out = pd.DataFrame(
+                {"ts": z_ts, "a_value": za, "b_value": zb, "validity": z_dur}
+            )
+        else:
+            def pick(s):
+                m = side == s
+                order = np.argsort(packed[m], kind="stable")
+                return packed[m][order], val[m][order], dur[m][order]
 
-        z_ts, za, zb, z_dur = strict_zip_arrays(
-            *pick(0), *pick(1), compress=compress
-        )
-        idx = z_ts // stride
+            z_ts, za, zb, z_dur = strict_zip_arrays(
+                *pick(0), *pick(1), compress=compress
+            )
+            idx = z_ts // stride
+            out = pd.DataFrame(
+                {"ts": z_ts % stride + base, "a_value": za, "b_value": zb,
+                 "validity": z_dur}
+            )
         key_vals = (
             uniques[idx].to_frame(index=False)
             if len(key_cols) > 1
             else pd.DataFrame({key_cols[0]: uniques[idx]})
         )
         key_vals.columns = key_cols
-        out = pd.DataFrame(
-            {"ts": z_ts % stride + base, "a_value": za, "b_value": zb,
-             "validity": z_dur}
-        )
         return pd.concat([key_vals.reset_index(drop=True), out], axis=1)[out_names]
 
     tagged = left.select(
@@ -300,25 +417,54 @@ def merge_series_n(
         dur = pdf["validity"].to_numpy(np.int64)
         val = pdf["value"].to_numpy(np.float64)
         side = pdf["side"].to_numpy()
-        base = int(ts.min())
-        stride = int((ts + dur).max()) - base + 1
-        packed = codes.astype(np.int64) * stride + (ts - base)
-        sides = []
-        for i in range(n_sides):
-            m = side == i
-            order = np.argsort(packed[m], kind="stable")
-            sides.append((packed[m][order], val[m][order], dur[m][order]))
-        m_ts, m_val, m_dur = merge_apply_numeric_n(sides, op=op, compress=compress)
-        idx = m_ts // stride
+        packed, stride, base = _pack_codes(codes, ts, dur)
+
+        if packed is None:
+            # int64-overflow fallback: per-series loop
+            order = np.lexsort((ts, side, codes))
+            codes_s, ts_s = codes[order], ts[order]
+            val_s, dur_s, side_s = val[order], dur[order], side[order]
+            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+            idx_p, ts_p, val_p, dur_p = [], [], [], []
+            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+                grp_sides = []
+                for i in range(n_sides):
+                    m = side_s[s0:s1] == i
+                    grp_sides.append(
+                        (ts_s[s0:s1][m], val_s[s0:s1][m], dur_s[s0:s1][m])
+                    )
+                m_ts, m_val, m_dur = merge_apply_numeric_n(
+                    grp_sides, op=op, compress=compress
+                )
+                ts_p.append(m_ts)
+                val_p.append(m_val)
+                dur_p.append(m_dur)
+                idx_p.append(np.full(m_ts.size, codes_s[s0], np.int64))
+            m_ts = np.concatenate(ts_p)
+            idx = np.concatenate(idx_p)
+            out = pd.DataFrame(
+                {"ts": m_ts, "value": np.concatenate(val_p),
+                 "validity": np.concatenate(dur_p)}
+            )
+        else:
+            sides = []
+            for i in range(n_sides):
+                m = side == i
+                order = np.argsort(packed[m], kind="stable")
+                sides.append((packed[m][order], val[m][order], dur[m][order]))
+            m_ts, m_val, m_dur = merge_apply_numeric_n(
+                sides, op=op, compress=compress
+            )
+            idx = m_ts // stride
+            out = pd.DataFrame(
+                {"ts": m_ts % stride + base, "value": m_val, "validity": m_dur}
+            )
         key_vals = (
             uniques[idx].to_frame(index=False)
             if len(key_cols) > 1
             else pd.DataFrame({key_cols[0]: uniques[idx]})
         )
         key_vals.columns = key_cols
-        out = pd.DataFrame(
-            {"ts": m_ts % stride + base, "value": m_val, "validity": m_dur}
-        )
         return pd.concat([key_vals.reset_index(drop=True), out], axis=1)[out_names]
 
     tagged = None

@@ -274,11 +274,15 @@ def sample_closest(
     the VECTORIZED declarative restatement of the sequential cursor
     (kernel.sample.sample_arrays_closest, pinned against the sequential
     sampler by fuzz and against DuckDB by the ts_sample_closest oracle)."""
+    import numpy as np
     import pandas as pd
 
-    from ..kernel.fitter import fit
-    from ..kernel.sample import sample_arrays_closest
-    from ._kernel import apply_per_series
+    from ..kernel.fitter import fit_arrays_grouped
+    from ..kernel.sample import (
+        sample_arrays_closest,
+        sample_arrays_closest_grouped,
+    )
+    from ._kernel import apply_per_bucket
 
     key_fields = [df.schema[k] for k in key_cols]
     out_schema = StructType(
@@ -289,18 +293,42 @@ def sample_closest(
             StructField("validity", LongType()),
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
 
-    def _sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf["ts"].to_numpy()
-        g, v, d = sample_arrays_closest(
-            ts, pdf["value"].to_numpy(), pdf["validity"].to_numpy(),
-            int(ts[0]), rate,
-        )
+    def _sample_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
+                              ignore_index=True)
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        ts = pdf["ts"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.float64)
+        dur = pdf["validity"].to_numpy(np.int64)
+        res = sample_arrays_closest_grouped(codes, ts, val, dur, rate)
+        if res is None:
+            # packed-axis overflow: per-series loop (correct, not batched)
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            oc, og, ov, od = [], [], [], []
+            for s0, s1 in zip(starts, np.r_[starts[1:], codes.size]):
+                g, v, d = sample_arrays_closest(
+                    ts[s0:s1], val[s0:s1], dur[s0:s1], int(ts[s0]), rate
+                )
+                oc.append(np.full(len(g), codes[s0], np.int64))
+                og.append(np.asarray(g, np.int64))
+                ov.append(np.asarray(v, np.float64))
+                od.append(np.asarray(d, np.int64))
+            res = (np.concatenate(oc), np.concatenate(og),
+                   np.concatenate(ov), np.concatenate(od))
+        out_codes, g, v, d = res
         if compress:
-            fitted = fit(list(zip(g, v, d)), compress=True)
-            g = [e[0] for e in fitted]
-            v = [e[1] for e in fitted]
-            d = [e[2] for e in fitted]
-        return pd.DataFrame({"ts": g, "value": v, "validity": d})
+            _keep, g, v, d = fit_arrays_grouped(out_codes, g, v, d,
+                                                compress=True)
+            out_codes = out_codes[_keep]
+        key_vals = uniques[out_codes].to_frame(index=False)
+        key_vals.columns = key_cols
+        out = pd.DataFrame({"ts": g, "value": v, "validity": d})
+        return pd.concat(
+            [key_vals.reset_index(drop=True), out], axis=1
+        )[out_names]
 
-    return apply_per_series(df, key_cols, _sample, out_schema)
+    return apply_per_bucket(df, key_cols, _sample_bucket, out_schema)

@@ -30,7 +30,6 @@ data is only ever scanned by the finest tier.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -38,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.series_ops import reaggregate_rollup, rollup_time_weighted
+from .stateio import StateIO
 
 __all__ = ["TierPipeline", "TIER_STEPS"]
 
@@ -53,8 +53,12 @@ class TierPipeline:
         key_cols: list[str],
         steps: dict[str, int] | None = None,
         n_salt: int = 16,
+        io: StateIO | None = None,
     ):
         self.base_dir = base_dir
+        # checkpoint/pointer state goes through the Hadoop FS router so a
+        # DFS base dir (hdfs://, s3a://, shared file://) works cluster-wide
+        self.io = io or StateIO()
         self.key_cols = list(key_cols)
         self.steps = dict(steps or TIER_STEPS)
         names = list(self.steps)
@@ -78,9 +82,8 @@ class TierPipeline:
 
     # -- checkpoint --------------------------------------------------------
     def read_checkpoint(self) -> dict:
-        if os.path.exists(self.checkpoint_path):
-            with open(self.checkpoint_path) as fh:
-                ckpt = json.load(fh)
+        if self.io.exists(self.checkpoint_path):
+            ckpt = self.io.read_json(self.checkpoint_path)
             # migrate pre-per-partition checkpoints (single global watermark)
             if "watermarks" not in ckpt:
                 wm = ckpt.pop("watermark_ms", None)
@@ -92,10 +95,8 @@ class TierPipeline:
         return {"watermarks": {}, "runs": []}
 
     def _commit_checkpoint(self, ckpt: dict) -> None:
-        tmp = self.checkpoint_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(ckpt, fh, indent=1, sort_keys=True)
-        os.replace(tmp, self.checkpoint_path)  # atomic commit
+        # atomic commit (tmp + rename), DFS-capable via the StateIO router
+        self.io.write_json_atomic(self.checkpoint_path, ckpt)
 
     # -- build -------------------------------------------------------------
     def _part_step(self, name: str) -> int:

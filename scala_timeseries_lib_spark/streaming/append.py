@@ -20,23 +20,32 @@ exactly that pending entry per series + a watermark. Each ``append(batch)``:
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.entries import fit_entries
+from ..plans.stateio import StateIO
 
 __all__ = ["AppendStream"]
 
 
 class AppendStream:
-    def __init__(self, base_dir: str, key_cols: list[str], compress: bool = True):
+    def __init__(
+        self,
+        base_dir: str,
+        key_cols: list[str],
+        compress: bool = True,
+        io: StateIO | None = None,
+    ):
         self.base_dir = base_dir
         self.key_cols = list(key_cols)
         self.compress = compress
-        os.makedirs(base_dir, exist_ok=True)
+        # pointer state goes through the Hadoop FS router: a DFS base dir
+        # (hdfs://, s3a://, shared file://) stays visible across drivers
+        self.io = io or StateIO()
+        self.io.makedirs(base_dir)
 
     @property
     def _pointer(self) -> str:
@@ -50,16 +59,13 @@ class AppendStream:
         return os.path.join(self.base_dir, f"state_e{epoch}")
 
     def _read_pointer(self) -> int:
-        if os.path.exists(self._pointer):
-            with open(self._pointer) as fh:
-                return json.load(fh)["epoch"]
+        if self.io.exists(self._pointer):
+            return self.io.read_json(self._pointer)["epoch"]
         return -1
 
     def _commit_pointer(self, epoch: int) -> None:
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch}, fh)
-        os.replace(tmp, self._pointer)
+        # atomic commit (tmp + rename), DFS-capable via the StateIO router
+        self.io.write_json_atomic(self._pointer, {"epoch": epoch})
 
     def pending(self, spark: SparkSession) -> DataFrame | None:
         epoch = self._read_pointer()

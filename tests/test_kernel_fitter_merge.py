@@ -247,3 +247,112 @@ class TestNumericOps:
             (10, 6.0, 5),
             (15, 4.0, 5),
         ]
+
+
+class TestGroupedKernels:
+    """Batch-vectorized (whole-salt-bucket) kernels vs their per-series twins."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_fit_arrays_grouped_matches_per_series(self, seed, compress):
+        from scala_timeseries_lib_spark.kernel.fitter import (
+            fit_arrays,
+            fit_arrays_grouped,
+        )
+
+        rng = np.random.default_rng(seed)
+        codes_l, ts_l, val_l, dur_l = [], [], [], []
+        per_series = []
+        for c in range(5):
+            n = int(rng.integers(1, 60))
+            ts = 1000 + np.cumsum(rng.integers(1, 30, n)).astype(np.int64)
+            # few distinct values + long validities force chains and trims
+            val = rng.integers(0, 3, n).astype(np.float64)
+            dur = rng.integers(1, 40, n).astype(np.int64)
+            codes_l.append(np.full(n, c, np.int64))
+            ts_l.append(ts)
+            val_l.append(val)
+            dur_l.append(dur)
+            per_series.append(fit_arrays(ts, val, dur, compress=compress))
+        codes = np.concatenate(codes_l)
+        keep, g_ts, g_val, g_dur = fit_arrays_grouped(
+            codes, np.concatenate(ts_l), np.concatenate(val_l),
+            np.concatenate(dur_l), compress=compress,
+        )
+        assert keep.size == g_ts.size
+        got_codes = codes[keep]
+        for c, (e_ts, e_val, e_dur) in enumerate(per_series):
+            m = got_codes == c
+            assert g_ts[m].tolist() == e_ts.tolist()
+            assert g_val[m].tolist() == e_val.tolist()
+            assert g_dur[m].tolist() == e_dur.tolist()
+
+    def test_fit_arrays_grouped_validation(self):
+        from scala_timeseries_lib_spark.kernel.fitter import fit_arrays_grouped
+
+        with pytest.raises(ValueError, match="strictly increasing"):
+            fit_arrays_grouped(
+                np.array([0, 0]), np.array([10, 10]),
+                np.array([1.0, 2.0]), np.array([5, 5]),
+            )
+        # equal ts across a code change is legal
+        keep, ts, _v, _d = fit_arrays_grouped(
+            np.array([0, 1]), np.array([10, 10]),
+            np.array([1.0, 2.0]), np.array([5, 5]),
+        )
+        assert ts.tolist() == [10, 10]
+        with pytest.raises(ValueError, match="validity"):
+            fit_arrays_grouped(
+                np.array([0]), np.array([10]), np.array([1.0]), np.array([0])
+            )
+
+    @pytest.mark.parametrize("seed", [5, 6, 7])
+    def test_sample_closest_grouped_matches_per_series(self, seed):
+        from scala_timeseries_lib_spark.kernel.fitter import fit_arrays
+        from scala_timeseries_lib_spark.kernel.sample import (
+            sample_arrays_closest,
+            sample_arrays_closest_grouped,
+        )
+
+        rng = np.random.default_rng(seed)
+        rate = 100
+        codes_l, ts_l, val_l, dur_l = [], [], [], []
+        per_series = []
+        for c in range(6):
+            n = int(rng.integers(1, 50))
+            ts = 1000 + np.cumsum(rng.integers(1, 300, n)).astype(np.int64)
+            val = rng.normal(0, 10, n).round(2)
+            dur = rng.integers(1, 250, n).astype(np.int64)
+            ts, val, dur = fit_arrays(ts, val, dur, compress=False)
+            codes_l.append(np.full(ts.size, c, np.int64))
+            ts_l.append(ts)
+            val_l.append(val)
+            dur_l.append(dur)
+            g, v, d = sample_arrays_closest(ts, val, dur, int(ts[0]), rate)
+            per_series.append((list(g), list(v), list(d)))
+        codes = np.concatenate(codes_l)
+        oc, og, ov, od = sample_arrays_closest_grouped(
+            codes, np.concatenate(ts_l), np.concatenate(val_l),
+            np.concatenate(dur_l), rate,
+        )
+        for c, (e_g, e_v, e_d) in enumerate(per_series):
+            m = oc == c
+            assert og[m].tolist() == e_g
+            assert ov[m].tolist() == e_v
+            assert od[m].tolist() == e_d
+
+    def test_sample_closest_grouped_overflow_returns_none(self):
+        from scala_timeseries_lib_spark.kernel.sample import (
+            sample_arrays_closest_grouped,
+        )
+
+        # one series spanning ~2^55 ms and 128 series total: 128 * stride
+        # crosses 2^62 and the guard must bail BEFORE building any grid
+        n_series = 130
+        codes = np.r_[np.array([0, 0], np.int64),
+                      np.arange(1, n_series, dtype=np.int64)]
+        ts = np.r_[np.array([1000, 1 << 55], np.int64),
+                   np.full(n_series - 1, 2000, np.int64)]
+        val = np.ones(codes.size)
+        dur = np.full(codes.size, 10, np.int64)
+        assert sample_arrays_closest_grouped(codes, ts, val, dur, 100) is None

@@ -174,3 +174,41 @@ class TestStreamingAppend:
         stream._commit_pointer(0)
         stream.append(b2)
         assert sorted(map(tuple, stream.entries(spark).collect())) == snapshot
+
+
+class TestDfsSchemePaths:
+    """Checkpoint/pointer state must survive on a scheme'd (DFS-style) base
+    dir: a ``file://`` URI routes through the Hadoop FileSystem API, the
+    same code path hdfs:// / s3a:// would take on a cluster."""
+
+    def test_append_stream_resume_on_scheme_path(self, spark, tmp_path):
+        base = "file://" + str(tmp_path / "dfs_stream")
+        b1, b2 = TestStreamingAppend()._batches(spark)
+        stream = AppendStream(base, ["key"])
+        stream.append(b1)
+        # a NEW driver-side object (fresh pointer read) resumes the state
+        resumed = AppendStream(base, ["key"])
+        assert resumed._read_pointer() == 0
+        m2 = resumed.append(b2)
+        assert m2["epoch"] == 1
+        assert m2["rows_late_dropped"] == 1
+        # crash-rerun idempotence through the Hadoop FS pointer too
+        snapshot = sorted(map(tuple, resumed.entries(spark).collect()))
+        resumed._commit_pointer(0)
+        resumed.append(b2)
+        assert sorted(map(tuple, resumed.entries(spark).collect())) == snapshot
+
+    def test_tier_pipeline_checkpoint_on_scheme_path(self, spark, tmp_path):
+        base = "file://" + str(tmp_path / "dfs_tiers")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ents = derive_entries(ev, KEYS, ts_col="ts", value_col="value")
+        tp = TierPipeline(base, KEYS)
+        tp.update(ents)
+        # fresh object reads the committed checkpoint through Hadoop FS
+        tp2 = TierPipeline(base, KEYS)
+        ckpt = tp2.read_checkpoint()
+        assert ckpt["watermarks"] and len(ckpt["runs"]) == 1
+        # incremental no-new-data run commits a second lineage record
+        rec = tp2.update(ents.filter(F.lit(False)))
+        assert rec["rows_in"] == 0
+        assert len(tp2.read_checkpoint()["runs"]) == 2

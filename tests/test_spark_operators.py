@@ -357,3 +357,121 @@ class TestMergeTimeSliced:
         with pytest.raises(ValueError):
             merge_series(df, df, ["key"], op="plus", compress=False,
                          time_slice=1000)
+
+
+class TestMergeCallableAndDefaults:
+    def test_callable_op_matches_generic_kernel(self, spark):
+        """DataFrame-level arbitrary merge op (TimeSeries.scala:261): a
+        callable that also FILLS (None, None) holes -- the dangerous case
+        for offset packing, where gaps between packed series regions must
+        stay holes."""
+        def op(a, b):
+            if a is None and b is None:
+                return -1.0  # fill holes inside the union span
+            if a is None:
+                return b * 2
+            if b is None:
+                return a * 3
+            return a - b
+
+        rng = np.random.default_rng(31)
+        left = {f"k{i}": kfitter.fit(random_series(rng, 30)) for i in range(4)}
+        right = {f"k{i}": kfitter.fit(random_series(rng, 25)) for i in range(3)}
+        got = merge_series(
+            make_df(spark, left), make_df(spark, right), ["key"], op=op,
+            # one salt bucket -> all series packed together, maximum chance
+            # of cross-region leakage if the masking were wrong
+            **{},
+        )
+        for k in left:
+            expected = kmerge.merge_entries(left[k], right.get(k, []), op)
+            assert collect_series(got, k) == expected
+
+    @pytest.mark.parametrize("ld,rd", [(None, None), (0.0, None),
+                                       (None, 5.0), (2.0, 5.0)])
+    def test_nonstrict_minus_defaults(self, spark, ld, rd):
+        rng = np.random.default_rng(37)
+        left = {f"k{i}": kfitter.fit(random_series(rng, 30)) for i in range(3)}
+        right = {f"k{i}": kfitter.fit(random_series(rng, 25)) for i in range(2)}
+        got = merge_series(
+            make_df(spark, left), make_df(spark, right), ["key"],
+            op="minus", left_default=ld, right_default=rd,
+        )
+        kop = lambda a, b: kmerge.op_non_strict_minus(a, b, ld, rd)
+        for k in left:
+            expected = kmerge.merge_entries(left[k], right.get(k, []), kop)
+            assert collect_series(got, k) == expected
+
+    def test_unknown_op_rejected(self, spark, series3):
+        _raw, _fitted, df = series3
+        with pytest.raises(ValueError, match="unknown op"):
+            merge_series(df, df, ["key"], op="nope")
+
+    def test_time_slice_rejects_hole_filling_ops(self, spark, series3):
+        _raw, _fitted, df = series3
+        with pytest.raises(ValueError, match="time_slice"):
+            merge_series(df, df, ["key"], op="minus", left_default=1.0,
+                         right_default=1.0, time_slice=10_000)
+
+
+class TestOffsetPackingOverflowGuard:
+    def test_overflow_shape_falls_back_per_series(self, spark):
+        """codes.max()*stride >= 2^62 must take the per-series path and
+        still produce the exact merge (the packed axis would overflow)."""
+        span = 1 << 61
+        left = {
+            "a": [(1_000, 1.0, 1_000), (span, 2.0, 1_000)],
+            "b": [(2_000, 3.0, 1_000), (span - 5_000, 4.0, 1_000)],
+            "c": [(1_500, 5.0, 2_000)],
+        }
+        right = {
+            "a": [(1_500, 10.0, 1_000)],
+            "b": [(span - 4_500, 20.0, 1_000)],
+        }
+        from scala_timeseries_lib_spark.operators.merge import _pack_codes
+
+        codes = np.array([0, 0, 1, 1, 2])
+        ts = np.array([1_000, span, 2_000, span - 5_000, 1_500], np.int64)
+        dur = np.array([1_000, 1_000, 1_000, 1_000, 2_000], np.int64)
+        packed, _s, _b = _pack_codes(codes, ts, dur)
+        assert packed is None  # the guard really trips for this shape
+
+        got = merge_series(
+            make_df(spark, left), make_df(spark, right), ["key"], op="plus"
+        )
+        for k in left:
+            expected = kmerge.merge_entries(
+                left[k], right.get(k, []), kmerge.op_non_strict_plus
+            )
+            assert collect_series(got, k) == expected
+
+    def test_zip_and_nary_overflow_fallback(self, spark):
+        from scala_timeseries_lib_spark.operators.merge import (
+            merge_series_n,
+            strict_zip_series,
+        )
+
+        span = 1 << 61
+        left = {
+            "a": [(1_000, 1.0, 5_000), (span, 2.0, 1_000)],
+            "b": [(2_000, 3.0, 1_000)],
+        }
+        right = {
+            "a": [(1_500, 10.0, 1_000), (span + 200, 7.0, 500)],
+            "b": [(2_200, 20.0, 1_000)],
+        }
+        ldf, rdf = make_df(spark, left), make_df(spark, right)
+
+        zipped = strict_zip_series(ldf, rdf, ["key"])
+        za = [
+            (r["ts"], r["a_value"], r["b_value"], r["validity"])
+            for r in zipped.filter(zipped.key == "a").orderBy("ts").collect()
+        ]
+        assert za == [(1_500, 1.0, 10.0, 1_000), (span + 200, 2.0, 7.0, 500)]
+
+        summed = merge_series_n([ldf, rdf], ["key"], op="plus")
+        for k in left:
+            expected = kmerge.merge_entries(
+                left[k], right.get(k, []), kmerge.op_non_strict_plus
+            )
+            assert collect_series(summed, k) == expected
