@@ -556,10 +556,28 @@ def _q_minhash_sig(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir))
 
 
+MINHASH_MAX_BUCKET = 50  # drop degenerate LSH buckets bigger than this
+
+
 def _q_minhash_pairs(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), max_bucket_size=MINHASH_MAX_BUCKET
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the (capped) MinHash
+    LSH candidate pairs; canonical_id = min doc_id of the component."""
+    from scala_timeseries_lib_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=MINHASH_MAX_BUCKET)
+    return neardup_clusters(docs, pairs)
 
 
 def _q_simhash(spark, sf_dir):
@@ -671,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_minhash_sig,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "text_bpe_tokens": _q_bpe_tokens,
@@ -1447,6 +1466,27 @@ sig AS (
         f"(sqrt({dot.format(a='{q}', b='{q}')}) * sqrt({dot.format(a='{c}', b='{c}')}))"
     )
     plane_w = "(((p * 64 + i - 1) * 1103515245 + 12345) % 2001 - 1000) / 1000.0"
+    mpairs_ctes = f""",
+buckets AS (
+    SELECT doc_id, hash_idx // 2 AS band,
+           md5(string_agg(hash_idx || ':' || minhash, ','
+               ORDER BY hash_idx || ':' || minhash)) AS bucket
+    FROM sig GROUP BY doc_id, hash_idx // 2
+),
+kept AS (
+    SELECT * FROM buckets
+    WHERE (band, bucket) NOT IN (
+        SELECT (band, bucket) FROM buckets GROUP BY band, bucket
+        HAVING COUNT(*) > {MINHASH_MAX_BUCKET}
+    )
+),
+mpairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id
+)
+"""
     return {
         "dedup_exact": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
@@ -1475,18 +1515,25 @@ WHERE ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) >= 0.8
 """,
         "dedup_minhash_sig": sig_cte
         + "SELECT doc_id, hash_idx, minhash FROM sig",
-        "dedup_minhash_pairs": sig_cte
+        "dedup_minhash_pairs": sig_cte + mpairs_ctes
+        + "SELECT doc_a, doc_b FROM mpairs",
+        "dedup_clusters": sig_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + mpairs_ctes
         + """,
-buckets AS (
-    SELECT doc_id, hash_idx // 2 AS band,
-           md5(string_agg(hash_idx || ':' || minhash, ','
-               ORDER BY hash_idx || ':' || minhash)) AS bucket
-    FROM sig GROUP BY doc_id, hash_idx // 2
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a
-JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-    AND a.doc_id < b.doc_id
+edges AS (
+    SELECT doc_a AS s, doc_b AS t FROM mpairs
+    UNION SELECT doc_b AS s, doc_a AS t FROM mpairs
+),
+reach AS (
+    SELECT s, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+lab AS (SELECT s AS doc_id, MIN(t) AS mint FROM reach GROUP BY s)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(l.doc_id, l.mint), d.doc_id) AS BIGINT)
+           AS canonical_id
+FROM documents d LEFT JOIN lab l USING (doc_id)
 """,
         "dedup_simhash": f"""
 WITH wh AS (

@@ -31,6 +31,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "simhash",
     "MINHASH_A",
     "MINHASH_B",
@@ -145,11 +146,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, bands: int = 4, text_col: str = "text", n: int = 3
+    df: DataFrame,
+    bands: int = 4,
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: k/bands rows per band; docs sharing a full band bucket
     become candidate pairs (deduplicated). With k=8, bands=4 (r=2) the
-    collision probability at jaccard s is 1-(1-s^2)^4: ~0.99 at s=0.8."""
+    collision probability at jaccard s is 1-(1-s^2)^4: ~0.99 at s=0.8.
+
+    ``max_bucket_size`` caps degenerate hot buckets: a bucket holding m docs
+    emits m^2/2 pairs, so one boilerplate-dominated signature (empty docs,
+    templated pages) can turn the bucket join quadratic. Buckets above the
+    cap are dropped before the self-join -- their members are near-exact
+    duplicates of each other and are already caught by ``exact_dedup`` /
+    handled by downstream clustering of surviving pairs."""
     rows_per_band = len(MINHASH_A) // bands
     sig = minhash_signatures(df, text_col, n)
     banded = sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -157,6 +169,14 @@ def minhash_lsh_pairs(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
             F.concat_ws(":", "hash_idx", "minhash"))))).alias("bucket")
     )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
     return (
         buckets.alias("a")
         .join(
@@ -167,6 +187,66 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every doc gets
+    ``canonical_id`` = the minimum doc id reachable through the pair graph
+    (its own id when unpaired). This is the keep-one-per-cluster step a
+    dedup pipeline runs after LSH/Jaccard candidate generation.
+
+    Implementation: distributed min-label propagation (Pregel-style).
+    Each round is one equi-join of labels onto edges + a min-aggregate;
+    rounds repeat until no label changes. Near-dup components come from
+    shared LSH buckets, so they are dense and flat -- diameter (and thus
+    round count) is small; each round shuffles |E| + |V| rows on int keys
+    and lineage is truncated per round (localCheckpoint), the standard
+    iterative-CC shape. For adversarially chainy graphs the two-phase
+    large-star/small-star variant halves round count; not needed for the
+    bucket-generated graphs here.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("t")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    )
+    labels = docs.select(F.col(id_col).alias("s"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(
+                labels.select(F.col("s").alias("t"), F.col("label").alias("nlabel")),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        new_labels = labels.join(prop, "s", "left").select(
+            "s",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.select("s", F.col("label").alias("new_label"))
+            .join(labels, "s")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("s").alias(id_col), F.col("label").alias("canonical_id")
     )
 
 

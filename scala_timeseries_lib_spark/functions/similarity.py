@@ -197,6 +197,15 @@ def embedding_neardup_pairs(
     so pair work drops by ~2^planes at a known recall cost -- the standard
     SimHash/LSH dedup blocking trade). ``block_lsh=False`` is the exact
     all-pairs baseline for small n.
+
+    **Sizing rule for n_planes**: expected pair work is
+    ~ n^2 / 2^n_planes, so pick ``n_planes ~ 2*log2(n) - log2(P)`` where P
+    is the pair budget (e.g. n=10^9 docs, P=10^12 comparisons ->
+    n_planes ~ 20). Recall at cosine s falls as (1 - acos(s)/pi)^n_planes;
+    recover it by OR-ing over b independent plane sets (run with b seeds and
+    union the pairs), trading b x work for 1-(1-r)^b recall -- the
+    rotate-band trick for hyperplane LSH. The default n_planes=4 is sized
+    for the sf0.01/0.1 test corpus, not for production n.
     """
     base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
     if block_lsh:

@@ -8,6 +8,8 @@ computation of the same semantics.
 
 import itertools
 
+from pyspark.sql import functions as F
+
 import pytest
 
 N_DOCS = 40
@@ -109,3 +111,43 @@ def test_threshold_filter_applies_to_pruned_sizes(spark):
     r = out[0]
     assert (r.doc_a, r.doc_b) == (0, 1)
     assert r.jaccard == pytest.approx(r.shared / (r.shared + 1), abs=1e-4)
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    """A degenerate LSH bucket (many identical docs -> identical band
+    signatures) must not explode the bucket self-join; the cap drops it
+    while genuine near-dup pairs survive."""
+    from scala_timeseries_lib_spark.functions.dedup import minhash_lsh_pairs
+
+    tail = " ".join(f"tok{j}" for j in range(40))
+    rows = [(i, "identical boilerplate page " + "x " * 20) for i in range(30)]
+    rows += [(100, f"real document {tail}"), (101, f"real document {tail} end")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, max_bucket_size=None).count()
+    assert uncapped >= 30 * 29 // 2  # the hot bucket alone is quadratic
+
+    capped = {(r.doc_a, r.doc_b)
+              for r in minhash_lsh_pairs(docs, max_bucket_size=5).collect()}
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped)  # boilerplate pairs all dropped
+
+
+def test_neardup_clusters_connected_components(spark):
+    """Chain graphs require label propagation across multiple rounds: a
+    4-hop chain, a separate pair, and singletons must each resolve to the
+    component minimum."""
+    from scala_timeseries_lib_spark.functions.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    ).withColumn("text", (F.col("doc_id") * 0).cast("string"))
+    # chain 9-7-5-3-1 (descending links force propagation) + pair (2, 8)
+    pairs = spark.createDataFrame(
+        [(7, 9), (5, 7), (3, 5), (1, 3), (2, 8)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.canonical_id
+           for r in neardup_clusters(docs, pairs).collect()}
+    want = {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 9: 1, 2: 2, 8: 2, 4: 4, 6: 6}
+    assert got == want
