@@ -616,6 +616,20 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_top_tokens(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=100)
+
+
+def _q_quality_filter(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.text import quality_filter
+
+    return quality_filter(
+        _docs(spark, sf_dir), min_quality=0.5, min_tokens=5, max_tokens=100_000
+    )
+
+
 def _q_knn(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.similarity import knn_bruteforce
 
@@ -696,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_top_tokens": _q_top_tokens,
+        "pipeline_quality_filter": _q_quality_filter,
         "sim_knn_cosine": _q_knn,
         "sim_lsh_buckets": _q_lsh_buckets,
         "sim_ann_lsh_topk": _q_ann_lsh,
@@ -1594,6 +1610,36 @@ SELECT doc_id,
             i -> ({h32.format(x='w[i]')} % {FP_MOD}) * i)) % {FP_MOD} AS BIGINT)
            AS fingerprint
 FROM toks
+""",
+        "text_top_tokens": """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+""",
+        "pipeline_quality_filter": f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+parts AS (
+    SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(w) AS DOUBLE) AS n,
+        len(list_filter(w, t -> list_contains([{stop_list}], t)))
+            / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        (length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE) AS avg_len,
+        {", ".join(f"{lang_counts[lg]} AS c_{lg}" for lg in langs)}
+    FROM toks
+),
+gated AS (
+    SELECT doc_id, {lang_case} AS pred_lang, n_tokens,
+           ROUND(LEAST(n / 100.0, 1.0) * 0.5
+                 + LEAST(stop_ratio * 5.0, 1.0) * 0.3
+                 + LEAST(avg_len / 8.0, 1.0) * 0.2, 5) AS quality
+    FROM parts
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT g.doc_id, g.pred_lang, g.n_tokens, g.quality
+FROM gated g JOIN canon USING (doc_id)
+WHERE g.quality >= 0.5 AND g.n_tokens BETWEEN 5 AND 100000
+  AND g.pred_lang != 'und'
 """,
         "sim_knn_cosine": f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

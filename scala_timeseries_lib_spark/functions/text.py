@@ -18,6 +18,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "top_tokens",
+    "quality_filter",
     "STOPWORDS",
     "LANG_STOPWORDS",
     "FP_MOD",
@@ -82,25 +84,23 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality in [0,1]: length saturation + stopword
-    plausibility + token-length plausibility. Deterministic linear blend."""
+def _quality_expr(text_col: str = "text"):
+    """Heuristic document quality in [0,1] as a column expression."""
     toks = _tokens(text_col)
     n = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n
     avg_len = (F.length(text_col) - n + 1) / n
-    score = (
+    return (
         F.least(n / 100.0, F.lit(1.0)) * 0.5
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
         + F.least(avg_len / 8.0, F.lit(1.0)) * 0.2
     )
-    return df.select("doc_id", F.round(score, 5).alias("quality"))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID: count hits per language lexicon, argmax with
-    deterministic lexicographic tie-break; 'und' (undetermined) when no hits."""
+def _lang_pred_expr(text_col: str = "text"):
+    """Stopword-hit language ID as a column expression: argmax hit count
+    with deterministic lexicographic tie-break; 'und' when no hits."""
     toks = _tokens(text_col)
 
     def _contains(arr):
@@ -112,8 +112,6 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         hits[lang] = F.size(F.filter(toks, _contains(arr)))
-    # argmax with deterministic tie-break to the lexicographically smallest
-    # language: struct comparison on (count, priority)
     langs = sorted(hits)
     best = F.greatest(
         *[
@@ -125,8 +123,68 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for i, lg in enumerate(langs)
         ]
     )
-    pred = F.when(best["c"] == 0, F.lit("und")).otherwise(best["lang"])
-    return df.select("doc_id", pred.alias("pred_lang"))
+    return F.when(best["c"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation + stopword
+    plausibility + token-length plausibility. Deterministic linear blend."""
+    return df.select("doc_id", F.round(_quality_expr(text_col), 5).alias("quality"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: count hits per language lexicon, argmax with
+    deterministic lexicographic tie-break; 'und' (undetermined) when no hits."""
+    return df.select("doc_id", _lang_pred_expr(text_col).alias("pred_lang"))
+
+
+def top_tokens(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus heavy-hitters: global token frequency top-k.
+
+    Explode -> two-stage hash aggregate (map-side partial count, one shuffle
+    on the token) -> TakeOrdered top-k (no full sort shuffle; each partition
+    keeps k rows, the driver merges). Ties break deterministically
+    (count DESC, token ASC) so the result SET is stable."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed training-data gate: exact-dedup to canonical docs, then
+    language-determined + quality + token-count filters.
+
+    One scan computes every gate column (quality, language, token count are
+    pure Catalyst expressions -- no joins between per-doc feature frames);
+    the canonical-doc set is one md5 hash-aggregate, applied as a semi join
+    on doc_id (broadcastable under AQE when the survivor set is small).
+    Output: doc_id, pred_lang, n_tokens, quality for the surviving docs."""
+    gated = df.select(
+        "doc_id",
+        _lang_pred_expr(text_col).alias("pred_lang"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.round(_quality_expr(text_col), 5).alias("quality"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("pred_lang") != "und")
+    )
+    canonical = (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return gated.join(canonical, "doc_id", "semi")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
