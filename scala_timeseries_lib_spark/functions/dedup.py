@@ -98,6 +98,14 @@ def ngram_jaccard_pairs(
     sh = shingles(df, text_col, n).select(
         "doc_id", hash32(F.col("shingle")).alias("h")
     )
+    # one exchange boundary on the join key: the posting list is consumed
+    # ~5x downstream (frequency count, anti-join input, both self-join
+    # sides, per-doc sizes); without a shuffle boundary each consumer
+    # re-scans + re-tokenizes the corpus, with it Spark's ReuseExchange
+    # materializes the scan+shingle work ONCE and every consumer reads the
+    # shuffle output. It is also exactly the partitioning the self-join
+    # wants, so the join adds no further exchange.
+    sh = sh.repartition("h")
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("h")
