@@ -177,6 +177,11 @@ def minhash_lsh_pairs(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
             F.concat_ws(":", "hash_idx", "minhash"))))).alias("bucket")
     )
+    # materialization boundary on the self-join key: the banded buckets are
+    # consumed three times (hot-bucket count + both join sides); one
+    # repartition exchange on (band, bucket) lets ReuseExchange run the
+    # signature pipeline once and feeds the join pre-partitioned
+    buckets = buckets.repartition("band", "bucket")
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("band", "bucket")
