@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim", "knn_bruteforce", "lsh_buckets", "ann_lsh_topk",
+__all__ = ["cosine_sim", "knn_bruteforce", "lsh_bucket_expr", "lsh_buckets", "ann_lsh_topk",
            "ivf_assign", "ann_ivf_topk", "embedding_neardup_pairs",
            "N_PLANES", "plane_weight_expr"]
 
@@ -77,10 +77,9 @@ def plane_weight_expr(plane: int, dim_col):
     return ((idx * 1103515245 + 12345) % 2001 - 1000) / 1000.0
 
 
-def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector: bit j = sign(dot(e, plane_j))."""
-    emb = _to_double(F.col("embedding"))
-
+def lsh_bucket_expr(emb, n_planes: int = N_PLANES):
+    """Random-hyperplane LSH bucket as a column expression over an
+    array<double> embedding: bit j = sign(dot(e, plane_j))."""
     def _weighted(j):
         return lambda x, i: x * plane_weight_expr(j, i)
 
@@ -95,7 +94,15 @@ def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return df.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = sign(dot(e, plane_j))."""
+    return df.select(
+        "vec_id",
+        lsh_bucket_expr(_to_double(F.col("embedding")), n_planes).alias("bucket"),
+    )
 
 
 def ivf_assign(
@@ -209,8 +216,12 @@ def embedding_neardup_pairs(
     """
     base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
     if block_lsh:
-        buckets = lsh_buckets(df, n_planes)
-        base = base.join(buckets, "vec_id")
+        # bucket is a column EXPRESSION over the same row (no join back to a
+        # separate buckets frame), and one repartition on the self-join key
+        # lets ReuseExchange compute scan+projections once for both sides
+        base = base.withColumn(
+            "bucket", lsh_bucket_expr(F.col("emb"), n_planes)
+        ).repartition("bucket")
         a = base.select(
             F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
         )
@@ -239,9 +250,10 @@ def ann_lsh_topk(
     cross product -- the scale path for ANN."""
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(df, n_planes)
-    base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb")).join(
-        buckets, "vec_id"
+    base = df.select(
+        "vec_id",
+        _to_double(F.col("embedding")).alias("emb"),
+        lsh_bucket_expr(_to_double(F.col("embedding")), n_planes).alias("bucket"),
     )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
