@@ -154,7 +154,22 @@ def ann_ivf_topk(
     cents = base.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"), F.col("emb").alias("c_emb")
     )
-    assigned = base.join(ivf_assign(df, n_centroids), "vec_id")
+    # same assignment rule as ivf_assign, but the embedding is carried
+    # THROUGH the argmax window instead of being joined back on vec_id
+    # afterwards -- one shuffle (the window) instead of two
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "emb", "centroid",
+            F.round(cosine_sim(F.col("emb"), F.col("c_emb")), 6).alias("csim"),
+        )
+        .withColumn("rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "emb", "centroid")
+    )
 
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
