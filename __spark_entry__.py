@@ -673,6 +673,42 @@ def _q_mm_meta(spark, sf_dir):
     return binary_metadata(docs)
 
 
+def _q_mm_frames(spark, sf_dir):
+    """Strided frame sampling over binary payloads (video frame-extraction
+    plumbing); frames hashed so the compare is on stable strings."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.multimodal import frame_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    f = frame_sample(docs, frame_bytes=256, stride=4)
+    return f.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_n_bytes"),
+    )
+
+
+def _q_mm_features(spark, sf_dir):
+    """Fake-embed feature extraction plumbing (binary in, fixed-width vector
+    out); vector flattened to columns for the hash compare."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(docs, dims=4)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_append": _q_append,
@@ -717,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
         "mm_binary_meta": _q_mm_meta,
+        "mm_frame_sample": _q_mm_frames,
+        "mm_features": _q_mm_features,
         "ts_entries": _q_entries,
         "ts_slice": _q_slice,
         "ts_fill_locf": _q_fill_locf,
@@ -1762,4 +1800,23 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS fake_height
 FROM documents
 """,
+        # the synthetic corpus is pure ASCII (verified: octet_length ==
+        # length for every doc), so character slicing of text restates the
+        # engine's BYTE slicing of the utf-8 payload exactly
+        "mm_frame_sample": """
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       md5(substring(text, k * 256 + 1, 256)) AS frame_md5,
+       CAST(LEAST(256, length(text) - k * 256) AS BIGINT) AS frame_n_bytes
+FROM documents,
+LATERAL (SELECT UNNEST(generate_series(
+             0, CAST((length(text) - 1) // 256 AS BIGINT), 4)) AS k)
+WHERE length(text) >= 1
+""",
+        "mm_features": "SELECT doc_id, "
+        + ", ".join(
+            f"(CAST(('0x' || substr(md5(text), {8 * i + 1}, 8)) AS BIGINT) "
+            f"% 100000) / 100000.0 AS f{i}"
+            for i in range(4)
+        )
+        + " FROM documents",
     }

@@ -151,3 +151,37 @@ def test_neardup_clusters_connected_components(spark):
            for r in neardup_clusters(docs, pairs).collect()}
     want = {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 9: 1, 2: 2, 8: 2, 4: 4, 6: 6}
     assert got == want
+
+
+def test_multimodal_frame_sample_and_features(spark):
+    """Multi-frame fan-out: a 1100-byte payload at frame=256/stride=2 has
+    frames 0..4, sampled {0, 2, 4}; the last frame is partial."""
+    import hashlib
+
+    from scala_timeseries_lib_spark.functions.multimodal import (
+        extract_features,
+        frame_sample,
+        resize_stub,
+    )
+
+    payload = bytes(range(256)) * 4 + b"x" * 76  # 1100 bytes
+    docs = spark.createDataFrame(
+        [(1, payload), (2, b"tiny")], "doc_id long, payload binary"
+    )
+    rows = frame_sample(docs, frame_bytes=256, stride=2).collect()
+    got = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in rows}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert got[(1, 0)] == payload[:256]
+    assert got[(1, 2)] == payload[512:768]
+    assert got[(1, 4)] == payload[1024:]  # partial tail, 76 bytes
+    assert got[(2, 0)] == b"tiny"
+
+    feats = {r.doc_id: r.features for r in extract_features(docs).collect()}
+    h = hashlib.md5(payload).hexdigest()
+    assert feats[1] == [int(h[8 * i:8 * i + 8], 16) % 100_000 / 100_000.0
+                        for i in range(4)]
+
+    out = resize_stub(b"abc", 2, 3)
+    assert out == b"abcabc" and len(out) == 6
+    with pytest.raises(ValueError):
+        resize_stub(b"", 2, 2)
