@@ -32,6 +32,7 @@ __all__ = [
     "IntegralAggregator",
     "CollectAggregator",
     "window_sweep",
+    "window_sweep_grouped",
     "sliding_window",
     "dynamic_window",
 ]
@@ -264,6 +265,155 @@ def window_sweep(entries, width: int, aggregator: Aggregator, sample_rate=None,
             raise AssertionError("sweep invariant violated")
         yield (cursor, tuple(window), int(advance)), aggregator.current()
         cursor += int(advance)
+
+
+def _rmq(vals, lo_idx, hi_idx, op):
+    """Range min/max over [lo, hi) index ranges via a sparse table:
+    O(n log n) build, O(1) per query, fully vectorized. ``op`` is
+    np.minimum or np.maximum; empty ranges yield NaN."""
+    import numpy as np
+
+    n = vals.size
+    out = np.full(lo_idx.size, np.nan)
+    length = hi_idx - lo_idx
+    pos = length > 0
+    if not pos.any() or n == 0:
+        return out
+    max_len = int(length.max())
+    levels = [np.asarray(vals, np.float64)]
+    k = 1
+    while (1 << k) <= max_len:
+        half = 1 << (k - 1)
+        prev = levels[-1]
+        if prev.size <= half:
+            break
+        levels.append(op(prev[:-half], prev[half:]))
+        k += 1
+    j = np.zeros(lo_idx.size, np.int64)
+    j[pos] = np.floor(np.log2(length[pos])).astype(np.int64)
+    j = np.minimum(j, len(levels) - 1)
+    for jj in range(len(levels)):
+        m = pos & (j == jj)
+        if not m.any():
+            continue
+        tbl = levels[jj]
+        out[m] = op(tbl[lo_idx[m]], tbl[hi_idx[m] - (1 << jj)])
+    return out
+
+
+_GROUPED_AGGS = ("sum", "mean", "std", "min", "max", "integral")
+
+
+def window_sweep_grouped(codes, ts, val, dur, width: int, agg: str = "sum",
+                         timeunit: str = "ms"):
+    """Vectorized exact sweep over MANY series at once.
+
+    The declarative restatement of :func:`window_sweep` (the proof twin is
+    the per-series sweep, pinned by tests; the SQL twin is
+    ``_sliding_exact_sql`` in ``__spark_entry__``):
+
+    - emission boundaries are every entry start plus every removal instant
+      ``end + width``, clipped to each series' domain [first ts, last end);
+    - during segment [lo, hi) the window holds the CONTIGUOUS entry range
+      [n_removed(lo), n_added(lo)) -- additions and removals both happen in
+      timestamp order for fitted non-overlapping entries -- so every
+      aggregate is two searchsorted lookups plus either a prefix-sum
+      difference (sum / mean / std / integral) or a sparse-table range
+      min/max;
+    - ``sum`` and ``integral`` emit 0.0 on empty windows (their aggregators
+      never return None); mean/std/min/max leave holes.
+
+    Offset packing (stride >= span + width + 2, so a removal probe can
+    never reach the next series' region) batches all series of a salt
+    bucket into single numpy calls. Inputs must be sorted by (code, ts);
+    returns ``(codes_out, ts, value, validity)`` uncompressed emission
+    segments, or ``None`` when the packed axis would overflow int64
+    (callers fall back to the sequential per-series sweep).
+
+    Float caveat: windowed sums come from prefix-sum differences, which
+    round differently (~1e-13 relative) than the reference's incremental
+    add/drop; callers comparing across engines or paths must round first
+    (the driver queries do, via epsilon-floor + relational RLE).
+    """
+    import numpy as np
+
+    if width <= 0:
+        raise ValueError("Needs a strictly positive window size")
+    if agg not in _GROUPED_AGGS:
+        raise ValueError(f"unsupported grouped agg {agg!r}")
+    codes = np.asarray(codes, np.int64)
+    ts = np.asarray(ts, np.int64)
+    val = np.asarray(val, np.float64)
+    dur = np.asarray(dur, np.int64)
+    n = ts.size
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.float64), np.empty(0, np.int64))
+    if n == 0:
+        return empty
+
+    until = ts + dur
+    base = int(ts.min())
+    span = int(until.max()) - base
+    stride = span + width + 2
+    if (int(codes.max()) + 1) * stride >= 1 << 62:
+        return None
+    p_ts = codes * stride + (ts - base)
+    p_until = p_ts + dur
+
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], n]
+    lo0 = p_ts[starts]
+    hi0 = p_until[ends - 1]  # fitted entries: until increases within a series
+    sidx = np.repeat(np.arange(starts.size), ends - starts)
+    hi0_per_entry = hi0[sidx]
+
+    rem = p_until + width
+    pts = np.unique(np.concatenate([p_ts, rem[rem < hi0_per_entry], hi0]))
+    lo, hi = pts[:-1], pts[1:]
+    seg_series = np.searchsorted(lo0, lo, side="right") - 1
+    keep = lo != hi0[seg_series]  # drop the terminal/inter-region segments
+    lo, hi, seg_series = lo[keep], hi[keep], seg_series[keep]
+
+    # window contents = contiguous entry range [nr, na); entries of earlier
+    # regions are past their removal instant, so they cancel out of every
+    # prefix difference
+    na = np.searchsorted(p_ts, lo, side="right")
+    nr = np.searchsorted(rem, lo, side="right")
+
+    def psum(x):
+        c = np.concatenate(([0.0], np.cumsum(x)))
+        return c[na] - c[nr]
+
+    no_rows = na == nr
+    if agg == "sum":
+        value = psum(val)
+        drop_empty = False
+    elif agg == "integral":
+        value = psum(val * dur * seconds_factor(timeunit))
+        drop_empty = False
+    elif agg == "mean":
+        d = psum(dur.astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            value = psum(val * dur) / d
+        drop_empty = True
+    elif agg == "std":
+        d = psum(dur.astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m1 = psum(val * dur) / d
+            m2 = psum(val * val * dur) / d
+        value = np.sqrt(np.maximum(m2 - m1 * m1, 0.0))
+        drop_empty = True
+    else:  # min / max
+        op = np.minimum if agg == "min" else np.maximum
+        value = _rmq(val, nr, na, op)
+        drop_empty = True
+
+    if drop_empty:
+        keep2 = ~no_rows
+        lo, hi, seg_series, value = (
+            lo[keep2], hi[keep2], seg_series[keep2], value[keep2]
+        )
+    return (codes[starts][seg_series], lo % stride + base, value, hi - lo)
 
 
 def sliding_window(entries, width: int, aggregator: Aggregator, sample_rate=None,

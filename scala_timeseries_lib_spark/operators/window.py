@@ -110,12 +110,27 @@ def sliding_window_exact(
     timeunit: str = "ms",
     compress: bool = True,
 ) -> DataFrame:
-    """Reference-exact slidingWindow / slidingIntegral per series via the
-    kernel sweep (TimeSeries.scala:412-443). One shuffle on the key."""
+    """Reference-exact slidingWindow / slidingIntegral per series
+    (TimeSeries.scala:412-443). One shuffle on the key.
+
+    For the standard aggregators (sum/mean/std/min/max/integral) the whole
+    salt bucket runs through ONE vectorized kernel call
+    (kernel.window.window_sweep_grouped: prefix-sum differences and
+    sparse-table range min/max over the contiguous window ranges, offset-
+    packed across series; closest-in-window resampling batched via
+    sample_arrays_closest_grouped). The sequential per-series sweep remains
+    the semantics twin (pinned equivalent in tests) and the fallback for
+    strict-resample inputs and packed-axis overflow. Float note: the
+    vectorized sums differ from the incremental sweep at ~1e-13 relative
+    (prefix-difference vs add/drop rounding), and std inflates true-zero
+    variances to ~1e-7 -- round before comparing across paths/engines.
+    """
+    import numpy as np
     import pandas as pd
 
     from ..kernel import window as kwin
-    from ..kernel.fitter import fit
+    from ..kernel.fitter import fit, fit_arrays_grouped
+    from ..kernel.sample import sample_arrays_closest_grouped
 
     key_fields = [df.schema[k] for k in key_cols]
     out_schema = StructType(
@@ -126,6 +141,7 @@ def sliding_window_exact(
             StructField("validity", LongType()),
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
 
     def make_agg():
         cls = getattr(kwin, _AGG_FACTORIES[agg])
@@ -133,9 +149,13 @@ def sliding_window_exact(
             return cls(timeunit)
         return cls()
 
-    from ._kernel import apply_per_series
+    from ._kernel import apply_per_bucket, apply_per_series
 
-    def _sweep(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    vectorizable = agg in kwin._GROUPED_AGGS and (
+        sample_rate is None or use_closest
+    )
+
+    def _sweep_seq(key, pdf: pd.DataFrame) -> pd.DataFrame:
         entries = list(
             zip(pdf["ts"].tolist(), pdf["value"].tolist(), pdf["validity"].tolist())
         )
@@ -149,7 +169,56 @@ def sliding_window_exact(
             out = fit(out, compress=True)
         return pd.DataFrame(out, columns=["ts", "value", "validity"])
 
-    return apply_per_series(df, key_cols, _sweep, out_schema)
+    if not vectorizable:
+        return apply_per_series(df, key_cols, _sweep_seq, out_schema)
+
+    def _sweep_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
+                              ignore_index=True)
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        c = codes.astype(np.int64)
+        t = pdf["ts"].to_numpy(np.int64)
+        v = pdf["value"].to_numpy(np.float64)
+        d = pdf["validity"].to_numpy(np.int64)
+        res = None
+        if sample_rate is not None:
+            rs = sample_arrays_closest_grouped(c, t, v, d, sample_rate)
+            if rs is not None:
+                c, t, v, d = rs
+                res = kwin.window_sweep_grouped(
+                    c, t, v, d, window_width, agg=agg, timeunit=timeunit
+                )
+        else:
+            res = kwin.window_sweep_grouped(
+                c, t, v, d, window_width, agg=agg, timeunit=timeunit
+            )
+        if res is None:
+            # packed-axis overflow: sequential per-series fallback
+            frames = []
+            for key, g in pdf.groupby(key_cols, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                r = _sweep_seq(key, g)
+                for col, kv in zip(key_cols, key):
+                    r[col] = kv
+                frames.append(r[out_names])
+            if not frames:
+                return pd.DataFrame(columns=out_names)
+            return pd.concat(frames, ignore_index=True)
+        oc, ot, ov, od = res
+        if compress:
+            keep, ot, ov, od = fit_arrays_grouped(oc, ot, ov, od, compress=True)
+            oc = oc[keep]
+        key_vals = uniques[oc].to_frame(index=False)
+        key_vals.columns = key_cols
+        out = pd.DataFrame({"ts": ot, "value": ov, "validity": od})
+        return pd.concat(
+            [key_vals.reset_index(drop=True), out], axis=1
+        )[out_names]
+
+    return apply_per_bucket(df, key_cols, _sweep_bucket, out_schema)
 
 
 def dynamic_window_exact(

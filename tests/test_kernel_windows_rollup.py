@@ -5,6 +5,8 @@ BasicAggregatorsSpec.scala). See FIXTURES.md B.5-B.8."""
 
 import math
 
+import numpy as np
+
 import pytest
 
 from scala_timeseries_lib_spark.kernel.bucket import (
@@ -25,6 +27,7 @@ from scala_timeseries_lib_spark.kernel.sample import (
     sample_arrays_strict,
     split_longer_than,
 )
+from scala_timeseries_lib_spark.kernel import window as kwin
 from scala_timeseries_lib_spark.kernel.window import (
     CollectAggregator,
     IntegralAggregator,
@@ -322,3 +325,119 @@ class TestAggregators:
         mx.drop(window[0])
         assert mn.current() == 1.0
         assert mx.current() == 2.0
+
+
+class TestGroupedSweep:
+    """window_sweep_grouped (vectorized whole-bucket sweep) vs the
+    sequential per-series sweep."""
+
+    @pytest.mark.parametrize("agg,mk", [
+        ("sum", lambda: kwin.SumAggregator()),
+        ("min", lambda: kwin.MinAggregator()),
+        ("max", lambda: kwin.MaxAggregator()),
+    ])
+    def test_raw_entries_match(self, agg, mk):
+        from scala_timeseries_lib_spark.kernel.fitter import fit
+
+        rng = np.random.default_rng(13)
+        width = 5000
+        series = {}
+        for c in range(6):
+            n = int(rng.integers(1, 80))
+            ts = 1000 + np.cumsum(rng.integers(1, 3000, n)).astype(np.int64)
+            val = rng.normal(0, 10, n).round(2)
+            dur = rng.integers(1, 2500, n).astype(np.int64)
+            series[c] = fit(
+                list(zip(ts.tolist(), val.tolist(), dur.tolist())),
+                compress=False,
+            )
+        codes = np.concatenate(
+            [np.full(len(v), c, np.int64) for c, v in series.items()]
+        )
+        ts = np.concatenate([[e[0] for e in v] for v in series.values()])
+        val = np.concatenate([[e[1] for e in v] for v in series.values()])
+        dur = np.concatenate([[e[2] for e in v] for v in series.values()])
+        oc, ot, ov, od = kwin.window_sweep_grouped(
+            codes, ts, val, dur, width, agg=agg
+        )
+        for c, ents in series.items():
+            want = [
+                (t, round(a, 6), d)
+                for (t, _w, d), a in kwin.window_sweep(ents, width, mk())
+                if a is not None
+            ]
+            m = oc == c
+            got = [
+                (t, round(v, 6), d)
+                for t, v, d in zip(ot[m].tolist(), ov[m].tolist(), od[m].tolist())
+            ]
+            assert got == want, (agg, c)
+
+    @pytest.mark.parametrize("agg,mk,tol", [
+        ("mean", lambda: kwin.MeanAggregator(), 0),
+        ("integral", lambda: kwin.IntegralAggregator("ms"), 0),
+        ("std", lambda: kwin.StdAggregator(), 1e-5),  # m2-m1^2 cancellation
+    ])
+    def test_resampled_time_aware_match(self, agg, mk, tol):
+        from scala_timeseries_lib_spark.kernel.fitter import fit
+        from scala_timeseries_lib_spark.kernel.sample import (
+            sample,
+            sample_arrays_closest_grouped,
+        )
+
+        rng = np.random.default_rng(17)
+        width, rate = 5000, 1000
+        series = {}
+        for c in range(6):
+            n = int(rng.integers(1, 80))
+            ts = 1000 + np.cumsum(rng.integers(1, 3000, n)).astype(np.int64)
+            val = rng.normal(0, 10, n).round(2)
+            dur = rng.integers(1, 2500, n).astype(np.int64)
+            series[c] = fit(
+                list(zip(ts.tolist(), val.tolist(), dur.tolist())),
+                compress=False,
+            )
+        codes = np.concatenate(
+            [np.full(len(v), c, np.int64) for c, v in series.items()]
+        )
+        ts = np.concatenate([[e[0] for e in v] for v in series.values()])
+        val = np.concatenate([[e[1] for e in v] for v in series.values()])
+        dur = np.concatenate([[e[2] for e in v] for v in series.values()])
+        rc, rt, rv, rd = sample_arrays_closest_grouped(
+            codes, np.asarray(ts, np.int64), val, np.asarray(dur, np.int64),
+            rate,
+        )
+        oc, ot, ov, od = kwin.window_sweep_grouped(
+            rc, rt, rv, rd, width, agg=agg
+        )
+        for c, ents in series.items():
+            want = [
+                (t, a, d)
+                for (t, _w, d), a in kwin.window_sweep(
+                    ents, width, mk(), sample_rate=rate
+                )
+                if a is not None
+            ]
+            m = oc == c
+            got = list(zip(ot[m].tolist(), ov[m].tolist(), od[m].tolist()))
+            assert len(got) == len(want), (agg, c)
+            for (gt, gv, gd), (wt, wv, wd) in zip(got, want):
+                assert (gt, gd) == (wt, wd)
+                assert abs(gv - wv) <= max(tol, 1e-9 * max(1.0, abs(wv))), (
+                    agg, c, gv, wv,
+                )
+
+    def test_overflow_returns_none_and_rejects_bad_agg(self):
+        n_series = 130
+        codes = np.r_[np.array([0, 0], np.int64),
+                      np.arange(1, n_series, dtype=np.int64)]
+        ts = np.r_[np.array([1000, 1 << 55], np.int64),
+                   np.full(n_series - 1, 2000, np.int64)]
+        val = np.ones(codes.size)
+        dur = np.full(codes.size, 10, np.int64)
+        assert kwin.window_sweep_grouped(codes, ts, val, dur, 100) is None
+        with pytest.raises(ValueError, match="unsupported"):
+            kwin.window_sweep_grouped(codes[:1], ts[:1], val[:1], dur[:1],
+                                      100, agg="median")
+        with pytest.raises(ValueError, match="positive"):
+            kwin.window_sweep_grouped(codes[:1], ts[:1], val[:1], dur[:1], 0)
