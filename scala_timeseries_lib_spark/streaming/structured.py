@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["stream_fit_entries", "STATE_SCHEMA"]
+__all__ = ["stream_fit_entries", "stream_rollup", "STATE_SCHEMA"]
 
 STATE_SCHEMA = StructType(
     [
@@ -37,6 +37,60 @@ STATE_SCHEMA = StructType(
         StructField("validity", LongType()),
     ]
 )
+
+
+def stream_rollup(
+    entries: DataFrame,
+    key_cols: list[str],
+    step_ms: int,
+    watermark_ms: int,
+    origin: int = 0,
+) -> DataFrame:
+    """Streaming continuous-aggregate rollup: the finest tier's sufficient
+    statistics over an unbounded entries stream, 100% built-in Structured
+    Streaming (no Python in the pipeline).
+
+    Entries are boundary-split at bucket edges BEFORE the windowed
+    aggregation (the same stateless ``sequence``/``explode`` the batch
+    rollup uses, so time-weighting is exact), then aggregated per
+    (key, tumbling window) with watermark-based state eviction: a bucket
+    emits once the watermark passes its end (append mode), rows older than
+    the watermark are dropped by the engine, and state is one row per OPEN
+    (key, bucket). The emitted rows equal ``rollup_time_weighted`` over the
+    in-watermark data (pinned in tests) -- this is the streaming twin of
+    the TierPipeline's finest tier; coarser tiers reaggregate its output in
+    batch exactly as they do today.
+
+    Output: key_cols + bucket, twmean, vmin, vmax, integral_s, support_ms,
+    n_pieces (same schema as rollup_time_weighted).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.series_ops import split_at_buckets
+
+    pieces = split_at_buckets(entries, step_ms, origin)
+    ev = pieces.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+    wm = ev.withWatermark("event_time", f"{watermark_ms} milliseconds")
+    win = F.window(
+        F.col("event_time"),
+        f"{step_ms} milliseconds",
+        startTime=f"{origin % step_ms} milliseconds",
+    )
+    agg = wm.groupBy(*key_cols, win.alias("win")).agg(
+        (F.sum(F.col("value") * F.col("validity")) / F.sum("validity")).alias(
+            "twmean"
+        ),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        (F.sum(F.col("value") * F.col("validity")) / 1000.0).alias("integral_s"),
+        F.sum("validity").alias("support_ms"),
+        F.count(F.lit(1)).alias("n_pieces"),
+    )
+    return agg.select(
+        *key_cols,
+        F.unix_millis(F.col("win.start")).alias("bucket"),
+        "twmean", "vmin", "vmax", "integral_s", "support_ms", "n_pieces",
+    )
 
 
 def stream_fit_entries(

@@ -79,3 +79,73 @@ def test_two_batches_with_restart_match_batch_fitter(spark, tmp_path):
         expected = fit(sorted(rows), compress=True)
         # the per-series last entry is pending in the state store, not emitted
         assert emitted[k] == expected[:-1], k
+
+
+class TestStreamRollup:
+    """Watermarked streaming rollup vs the batch rollup over in-watermark
+    rows: closed buckets emit once (append mode), late rows are dropped by
+    the engine, open buckets stay in state."""
+
+    def _run(self, spark, src, ckpt, out, step, wm):
+        from scala_timeseries_lib_spark.streaming.structured import stream_rollup
+
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        rolled = stream_rollup(stream, ["key"], step_ms=step, watermark_ms=wm)
+        q = (
+            rolled.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_two_batches_watermark_and_late_drop(self, spark, tmp_path):
+        from scala_timeseries_lib_spark.operators.series_ops import (
+            rollup_time_weighted,
+        )
+
+        src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+        os.makedirs(src, exist_ok=True)
+        step, wm = 1000, 500
+
+        b1 = [
+            ("k1", 1000, 1.0, 300),
+            ("k1", 1800, 4.0, 400),   # straddles the 2000 boundary -> split
+            ("k1", 2500, 2.0, 400),
+        ]
+        b2 = [
+            ("k1", 900, 9.0, 50),     # event 900 < watermark 2000 -> dropped
+            ("k1", 3200, 5.0, 300),   # open bucket, stays in state
+            ("k1", 4100, 6.0, 100),   # advances watermark to 3600
+        ]
+        spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, ckpt, out, step, wm)
+        spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, ckpt, out, step, wm)
+
+        got = {
+            r["bucket"]: (round(r["twmean"], 6), r["vmin"], r["vmax"],
+                          round(r["integral_s"], 6), r["support_ms"],
+                          r["n_pieces"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # final watermark 4100-500=3600: buckets whose END <= 3600 have
+        # emitted ([1000,2000) and [2000,3000)); [3000,4000) is still open
+        assert set(got) == {1000, 2000}
+
+        kept = [r for r in b1 + b2 if r[1] != 900]  # engine dropped the late row
+        batch = rollup_time_weighted(
+            spark.createDataFrame(kept, SCHEMA), ["key"], step
+        )
+        want = {
+            r["bucket"]: (round(r["twmean"], 6), r["vmin"], r["vmax"],
+                          round(r["integral_s"], 6), r["support_ms"],
+                          r["n_pieces"])
+            for r in batch.collect()
+            if r["bucket"] in got
+        }
+        assert got == want
+        # each closed bucket emitted exactly once
+        assert spark.read.parquet(out).count() == len(got)
