@@ -1,0 +1,89 @@
+"""spark-submit entry point: raw documents -> filtered, deduplicated
+training corpus with per-stage lineage counts.
+
+Pipeline (the standard web-corpus preparation chain):
+
+1. quality gate       -- language-determined + quality score + token range,
+                         exact-dedup to canonical docs (one Catalyst scan +
+                         one md5 hash-aggregate), functions.text.quality_filter
+2. near-dup candidates -- MinHash LSH banded pairs with the hot-bucket cap,
+                         functions.dedup.minhash_lsh_pairs
+3. clustering          -- connected components by min-label propagation,
+                         functions.dedup.neardup_clusters; keep one doc per
+                         cluster (the minimum id)
+4. write               -- surviving corpus as parquet, plus a JSON lineage
+                         line with per-stage row counts
+
+Usage:
+    spark-submit --py-files /tmp/scala_timeseries_lib_spark.zip \\
+        jobs/corpus_dedup_job.py --input /root/testdata/sf0.1 --out /data/corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir with documents.parquet")
+    ap.add_argument("--out", required=True, help="output dir for the corpus")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--max-bucket-size", type=int, default=10_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from scala_timeseries_lib_spark.functions.text import quality_filter
+    from scala_timeseries_lib_spark.plans.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="corpus_dedup_job")
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+    n_in = docs.count()
+
+    gated = quality_filter(
+        docs,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+    ).select("doc_id")
+    kept_docs = docs.join(gated, "doc_id", "semi")
+    n_gated = kept_docs.count()
+
+    pairs = minhash_lsh_pairs(kept_docs, max_bucket_size=args.max_bucket_size)
+    clusters = neardup_clusters(kept_docs, pairs)
+    n_pairs = pairs.count()
+
+    survivors = clusters.filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    corpus = docs.join(survivors, "doc_id", "semi")
+    corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
+    n_out = spark.read.parquet(os.path.join(args.out, "corpus")).count()
+
+    print(json.dumps({
+        "docs_in": n_in,
+        "after_quality_and_exact_dedup": n_gated,
+        "neardup_candidate_pairs": n_pairs,
+        "docs_out": n_out,
+        "wall_sec": round(time.time() - t0, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
