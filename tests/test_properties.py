@@ -147,3 +147,118 @@ def test_gorilla_tuple_roundtrip(raw):
     got = np.array([v for _t, v, _d in out])
     want = np.array([v for _t, v, _d in es])
     assert np.array_equal(got.view(np.uint64), want.view(np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# Grouped (whole-bucket) kernels vs per-series twins under fuzz
+# ---------------------------------------------------------------------------
+
+multi_series = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400),
+            st.sampled_from([0.0, 1.0, 2.5, -3.0, 7.0]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    ).map(_cumsum_entries),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _grouped_arrays(series_list):
+    codes = np.concatenate(
+        [np.full(len(s), c, np.int64) for c, s in enumerate(series_list)]
+    )
+    ts = np.concatenate([[e[0] for e in s] for s in series_list]).astype(np.int64)
+    val = np.concatenate([[e[1] for e in s] for s in series_list])
+    dur = np.concatenate([[e[2] for e in s] for s in series_list]).astype(np.int64)
+    return codes, ts, val, dur
+
+
+@given(multi_series, st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_fit_arrays_grouped_equals_per_series_fit(series_list, compress):
+    from scala_timeseries_lib_spark.kernel.fitter import fit_arrays_grouped
+
+    codes, ts, val, dur = _grouped_arrays(series_list)
+    keep, g_ts, g_val, g_dur = fit_arrays_grouped(
+        codes, ts, val, dur, compress=compress
+    )
+    got_codes = codes[keep]
+    for c, s in enumerate(series_list):
+        m = got_codes == c
+        want = fit(s, compress=compress)
+        got = list(zip(g_ts[m].tolist(), g_val[m].tolist(), g_dur[m].tolist()))
+        assert got == want
+
+
+@given(multi_series, st.integers(min_value=2, max_value=600))
+@settings(max_examples=60, deadline=None)
+def test_sample_closest_grouped_equals_per_series(series_list, rate):
+    from scala_timeseries_lib_spark.kernel.sample import (
+        sample_arrays_closest,
+        sample_arrays_closest_grouped,
+    )
+
+    fitted = [fit(s, compress=False) for s in series_list]
+    codes, ts, val, dur = _grouped_arrays(fitted)
+    oc, og, ov, od = sample_arrays_closest_grouped(codes, ts, val, dur, rate)
+    for c, s in enumerate(fitted):
+        g, v, d = sample_arrays_closest(
+            np.array([e[0] for e in s], np.int64),
+            np.array([e[1] for e in s]),
+            np.array([e[2] for e in s], np.int64),
+            s[0][0], rate,
+        )
+        m = oc == c
+        assert og[m].tolist() == list(g)
+        assert ov[m].tolist() == list(v)
+        assert od[m].tolist() == list(d)
+
+
+@given(multi_series, st.integers(min_value=1, max_value=2000),
+       st.sampled_from(["sum", "min", "max"]))
+@settings(max_examples=60, deadline=None)
+def test_window_sweep_grouped_equals_sequential(series_list, width, agg):
+    from scala_timeseries_lib_spark.kernel import window as kwin
+
+    fitted = [fit(s, compress=False) for s in series_list]
+    codes, ts, val, dur = _grouped_arrays(fitted)
+    oc, ot, ov, od = kwin.window_sweep_grouped(codes, ts, val, dur, width, agg=agg)
+    mk = {"sum": kwin.SumAggregator, "min": kwin.MinAggregator,
+          "max": kwin.MaxAggregator}[agg]
+    for c, s in enumerate(fitted):
+        want = [
+            (t, round(a, 7), d)
+            for (t, _w, d), a in kwin.window_sweep(s, width, mk())
+            if a is not None
+        ]
+        m = oc == c
+        got = [
+            (t, round(v, 7), d)
+            for t, v, d in zip(ot[m].tolist(), ov[m].tolist(), od[m].tolist())
+        ]
+        assert got == want
+
+
+@given(entries_list, entries_list,
+       st.sampled_from([None, 0.0, 2.0]), st.sampled_from([None, 0.0, -1.5]))
+@settings(max_examples=80, deadline=None)
+def test_nonstrict_minus_defaults_vectorized_equals_generic(a, b, ld, rd):
+    a, b = fit(a, compress=True), fit(b, compress=True)
+    got = kmerge.merge_apply_numeric(
+        np.array([e[0] for e in a], np.int64),
+        np.array([e[1] for e in a]),
+        np.array([e[2] for e in a], np.int64),
+        np.array([e[0] for e in b], np.int64),
+        np.array([e[1] for e in b]),
+        np.array([e[2] for e in b], np.int64),
+        op="minus", left_default=ld, right_default=rd,
+    )
+    want = kmerge.merge_entries(
+        a, b, lambda x, y: kmerge.op_non_strict_minus(x, y, ld, rd)
+    )
+    assert list(zip(got[0].tolist(), got[1].tolist(), got[2].tolist())) == want
