@@ -673,6 +673,20 @@ def _q_mm_meta(spark, sf_dir):
     return binary_metadata(docs)
 
 
+def _q_shard_stats(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.shard import shard_stats
+
+    return shard_stats(_docs(spark, sf_dir), n_shards=16)
+
+
+def _q_corpus_sample(spark, sf_dir):
+    from scala_timeseries_lib_spark.functions.shard import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), rate_bp=1000).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     """Strided frame sampling over binary payloads (video frame-extraction
     plumbing); frames hashed so the compare is on stable strings."""
@@ -755,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_meta": _q_mm_meta,
         "mm_frame_sample": _q_mm_frames,
         "mm_features": _q_mm_features,
+        "corpus_shard_stats": _q_shard_stats,
+        "corpus_sample": _q_corpus_sample,
         "ts_entries": _q_entries,
         "ts_slice": _q_slice,
         "ts_fill_locf": _q_fill_locf,
@@ -1811,6 +1827,16 @@ FROM documents,
 LATERAL (SELECT UNNEST(generate_series(
              0, CAST((length(text) - 1) // 256 AS BIGINT), 4)) AS k)
 WHERE length(text) >= 1
+""",
+        "corpus_shard_stats": f"""
+SELECT CAST({h32.format(x='CAST(doc_id AS VARCHAR)')} % 16 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+""",
+        "corpus_sample": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {h32.format(x='CAST(doc_id AS VARCHAR)')} % 10000 < 1000
 """,
         "mm_features": "SELECT doc_id, "
         + ", ".join(

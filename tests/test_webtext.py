@@ -185,3 +185,26 @@ def test_multimodal_frame_sample_and_features(spark):
     assert out == b"abcabc" and len(out) == 6
     with pytest.raises(ValueError):
         resize_stub(b"", 2, 2)
+
+
+def test_deterministic_sample_nests_and_shards_are_stable(spark):
+    from scala_timeseries_lib_spark.functions.shard import (
+        assign_shards,
+        deterministic_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    s5 = {r.doc_id for r in deterministic_sample(docs, 500).collect()}
+    s10 = {r.doc_id for r in deterministic_sample(docs, 1000).collect()}
+    assert s5 <= s10                       # samples nest
+    assert 0.03 < len(s10) / 2000 < 0.17   # ~10%
+    # shard assignment is a pure function of the id: growing the corpus
+    # never moves existing rows
+    small = {r.doc_id: r.shard
+             for r in assign_shards(docs.limit(500), 16).collect()}
+    full = {r.doc_id: r.shard for r in assign_shards(docs, 16).collect()}
+    assert all(full[k] == v for k, v in small.items())
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 20_000)
