@@ -202,6 +202,17 @@ def _q_sliding_mean_1h(spark, sf_dir):
     return out.withColumn("value", F.round("value", 5))
 
 
+def _q_integrate_between(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    out = ops.integrate_between(_entries(spark, sf_dir), KEYS, SLICE_LO, SLICE_HI)
+    return out.withColumn(
+        "value_sum", F.floor(F.col("value_sum") * 100000 + 0.5 + 1e-6) / 100000
+    )
+
+
 def _q_series_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -396,6 +407,18 @@ def _q_sliding_exact_mean(spark, sf_dir):
     sliced = ops.slice_series(_entries(spark, sf_dir), SLIDE_LO, SLIDE_HI)
     out = sliding_window_exact(
         sliced, KEYS, HOUR, agg="mean", sample_rate=RATE_10M, compress=False
+    )
+    return _rle_repair(_round5(out), KEYS)
+
+
+def _q_rolling_sum(spark, sf_dir):
+    """NumericTimeSeries.rolling: per-entry trailing-window value sum
+    (current entry + values of entries overlapping [ts - 1h, ts))."""
+    from scala_timeseries_lib_spark.operators.merge import _rle_repair
+    from scala_timeseries_lib_spark.operators.window import rolling_values
+
+    out = rolling_values(
+        _entries(spark, sf_dir), KEYS, HOUR, agg="sum", compress=False
     )
     return _rle_repair(_round5(out), KEYS)
 
@@ -737,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_merge_minus_nonstrict": _q_merge_minus_nonstrict,
         "ts_merge_multiply": _q_merge_multiply,
         "ts_merge3_sum": _q_merge3_sum,
+        "ts_rolling_sum_1h": _q_rolling_sum,
         "ts_sliding_exact_sum": _q_sliding_exact_sum,
         "ts_sliding_exact_mean": _q_sliding_exact_mean,
         "ts_sliding_min_1h": _q_sliding_min_1h,
@@ -783,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fallback": _q_fallback,
         "ts_sliding_integral_1h": _q_sliding_integral_1h,
         "ts_sliding_mean_1h": _q_sliding_mean_1h,
+        "ts_integrate_between": _q_integrate_between,
         "ts_series_stats": _q_series_stats,
         "ts_gorilla_roundtrip": _q_gorilla_roundtrip,
     }
@@ -1225,6 +1250,36 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
             "COALESCE(a_val, b_val)", "a_val IS NOT NULL OR b_val IS NOT NULL"
         ),
         "ts_merge3_sum": _merge3_sql(),
+        "ts_rolling_sum_1h": ENTRIES_CTE
+        + f""",
+rolled AS (
+    SELECT e.user_id, e.event_type, e.ts AS lo,
+           e.ts + e.validity AS hi,
+           FLOOR((e.value + COALESCE(SUM(p.value), 0.0)) * 100000
+                 + 0.5 + 0.000001) / 100000 AS value
+    FROM entries e
+    LEFT JOIN entries p
+        ON p.user_id = e.user_id AND p.event_type = e.event_type
+        AND p.ts < e.ts AND p.ts + p.validity > e.ts - {HOUR}
+    GROUP BY e.user_id, e.event_type, e.ts, e.value, e.validity
+),
+islands AS (
+    SELECT user_id, event_type, lo, hi, value,
+           CASE WHEN LAG(hi) OVER w = lo AND LAG(value) OVER w = value
+                THEN 0 ELSE 1 END AS brk
+    FROM rolled
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY lo)
+),
+grp AS (
+    SELECT user_id, event_type, lo, hi, value,
+           SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY lo)
+               AS island
+    FROM islands
+)
+SELECT user_id, event_type, MIN(lo) AS ts, value,
+       CAST(MAX(hi) - MIN(lo) AS BIGINT) AS validity
+FROM grp GROUP BY user_id, event_type, island, value
+""",
         "ts_sliding_exact_sum": _sliding_exact_sql(
             ENTRIES_CTE
             + ", src AS (SELECT user_id, event_type, ts, value, validity "
@@ -1342,6 +1397,14 @@ FROM (
 WHERE next_ts - (ts + validity) > 0
 """,
         "ts_sample_closest": _sample_closest_sql(),
+        "ts_integrate_between": ENTRIES_CTE
+        + f"""
+SELECT user_id, event_type,
+       FLOOR(SUM(value) * 100000 + 0.5 + 0.000001) / 100000 AS value_sum
+FROM entries
+WHERE ts < {SLICE_HI} AND ts + validity > {SLICE_LO}
+GROUP BY user_id, event_type
+""",
         "ts_series_stats": ENTRIES_CTE
         + """
 , flagged AS (

@@ -33,6 +33,8 @@ __all__ = [
     "CollectAggregator",
     "window_sweep",
     "window_sweep_grouped",
+    "rolling",
+    "rolling_grouped",
     "sliding_window",
     "dynamic_window",
 ]
@@ -414,6 +416,63 @@ def window_sweep_grouped(codes, ts, val, dur, width: int, agg: str = "sum",
             lo[keep2], hi[keep2], seg_series[keep2], value[keep2]
         )
     return (codes[starts][seg_series], lo % stride + base, value, hi - lo)
+
+
+def rolling(entries, aggregator, window_ms: int, compress: bool = True):
+    """NumericTimeSeries.rolling (scala:49-64): for each entry, aggregate
+    the VALUES of the entries overlapping ``[ts - window_ms, ts)`` plus the
+    current value; the result keeps the entry's own timestamp and validity.
+    ``aggregator`` is a callable over a list of values. Sequential twin of
+    :func:`rolling_grouped`."""
+    entries = list(entries)
+    out = []
+    for t, v, d in entries:
+        vals = [
+            pv for pt, pv, pd in entries if pt < t and pt + pd > t - window_ms
+        ] + [v]
+        out.append((t, aggregator(vals), d))
+    from .fitter import fit
+
+    return fit(out, compress=compress) if compress else out
+
+
+def rolling_grouped(codes, ts, val, dur, window_ms: int, agg: str = "sum"):
+    """Vectorized :func:`rolling` over many series (same offset-packing and
+    contiguous-range argument as :func:`window_sweep_grouped`; the window of
+    entry i is exactly the entry range [n_removed(ts_i), i]). ``agg``: sum |
+    mean (plain mean of values) | min | max. Returns
+    ``(codes, ts, value, validity)`` or None on packed-axis overflow."""
+    import numpy as np
+
+    if window_ms <= 0:
+        raise ValueError("Needs a strictly positive window size")
+    if agg not in ("sum", "mean", "min", "max"):
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    codes = np.asarray(codes, np.int64)
+    ts = np.asarray(ts, np.int64)
+    val = np.asarray(val, np.float64)
+    dur = np.asarray(dur, np.int64)
+    n = ts.size
+    if n == 0:
+        return codes, ts, val, dur
+    base = int(ts.min())
+    span = int((ts + dur).max()) - base
+    stride = span + window_ms + 2
+    if (int(codes.max()) + 1) * stride >= 1 << 62:
+        return None
+    p_ts = codes * stride + (ts - base)
+    rem = p_ts + dur + window_ms
+    # prior in-window entries for entry i: [nr_i, i); i itself is appended
+    nr = np.searchsorted(rem, p_ts, side="right")
+    hi = np.arange(n) + 1
+    if agg in ("sum", "mean"):
+        c = np.concatenate(([0.0], np.cumsum(val)))
+        s = c[hi] - c[nr]
+        value = s if agg == "sum" else s / (hi - nr)
+    else:
+        op = np.minimum if agg == "min" else np.maximum
+        value = _rmq(val, nr, hi, op)
+    return codes, ts, value, dur
 
 
 def sliding_window(entries, width: int, aggregator: Aggregator, sample_rate=None,

@@ -311,6 +311,22 @@ def group_entries_maxn(df: DataFrame, key_cols: list[str], max_n: int) -> DataFr
     ).drop("grp")
 
 
+def integrate_between(
+    df: DataFrame, key_cols: list[str], start: int, end: int
+) -> DataFrame:
+    """Sum of values over the slice [start, end) per series
+    (TimeSeries.scala:351-353, deprecated upstream but part of the public
+    API): slice semantics keep boundary-straddling entries (trimmed, value
+    unchanged), so this is a plain filtered sum -- one scan + one hash
+    aggregate. For time-weighted integration use step_integral /
+    sliding_grid_agg instead, as the reference's deprecation note says."""
+    return (
+        slice_series(df, start, end)
+        .groupBy(*key_cols)
+        .agg(F.sum("value").alias("value_sum"))
+    )
+
+
 def value_stats(df: DataFrame, key_cols: list[str], round_to: int = 5) -> DataFrame:
     """Per-series value statistics matching the reference Stats snapshot
     (stats/ThreadUnsafeDoubleUniformReservoir.scala:94-147, computed exactly

@@ -22,6 +22,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 __all__ = [
     "sliding_grid_agg",
     "sliding_window_exact",
+    "rolling_values",
     "dynamic_window_exact",
     "dynamic_window_relational",
     "sample_closest",
@@ -219,6 +220,92 @@ def sliding_window_exact(
         )[out_names]
 
     return apply_per_bucket(df, key_cols, _sweep_bucket, out_schema)
+
+
+def rolling_values(
+    df: DataFrame,
+    key_cols: list[str],
+    window_ms: int,
+    agg: str = "sum",
+    compress: bool = True,
+) -> DataFrame:
+    """NumericTimeSeries.rolling (scala:49-64): every entry's value becomes
+    the aggregate of the VALUES of entries overlapping ``[ts - window_ms,
+    ts)`` plus its own; timestamps and validities are unchanged (then
+    optionally RLE-compressed like any mapEntries result).
+
+    Not expressible as a Spark range frame (an entry enters the window
+    through its END time, which is another row's attribute), so it runs the
+    contiguous-range kernel per salt bucket (one searchsorted + prefix sums
+    / sparse-table RMQ -- same argument as the exact sweep). ``agg``: sum |
+    mean | min | max; arbitrary aggregators via kernel.window.rolling."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernel import window as kwin
+    from ..kernel.fitter import fit_arrays_grouped
+    from ._kernel import apply_per_bucket
+
+    key_fields = [df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("validity", LongType()),
+        ]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    agg_fns = {"sum": sum, "mean": lambda v: sum(v) / len(v),
+               "min": min, "max": max}
+
+    def _roll_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
+                              ignore_index=True)
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        res = kwin.rolling_grouped(
+            codes.astype(np.int64),
+            pdf["ts"].to_numpy(np.int64),
+            pdf["value"].to_numpy(np.float64),
+            pdf["validity"].to_numpy(np.int64),
+            window_ms, agg=agg,
+        )
+        if res is None:
+            # packed-axis overflow: sequential per-series fallback
+            frames = []
+            for key, g in pdf.groupby(key_cols, sort=False):
+                out = kwin.rolling(
+                    list(zip(g["ts"], g["value"], g["validity"])),
+                    agg_fns[agg], window_ms, compress=False,
+                )
+                r = pd.DataFrame(out, columns=["ts", "value", "validity"])
+                for col, kv in zip(key_cols,
+                                   key if isinstance(key, tuple) else (key,)):
+                    r[col] = kv
+                frames.append(r[out_names])
+            merged = pd.concat(frames, ignore_index=True)
+            codes, uniques = pd.factorize(
+                pd.MultiIndex.from_frame(merged[key_cols])
+            )
+            oc = codes.astype(np.int64)
+            ot = merged["ts"].to_numpy(np.int64)
+            ov = merged["value"].to_numpy(np.float64)
+            od = merged["validity"].to_numpy(np.int64)
+        else:
+            oc, ot, ov, od = res
+        if compress:
+            keep, ot, ov, od = fit_arrays_grouped(oc, ot, ov, od, compress=True)
+            oc = oc[keep]
+        key_vals = uniques[oc].to_frame(index=False)
+        key_vals.columns = key_cols
+        out = pd.DataFrame({"ts": ot, "value": ov, "validity": od})
+        return pd.concat(
+            [key_vals.reset_index(drop=True), out], axis=1
+        )[out_names]
+
+    return apply_per_bucket(df, key_cols, _roll_bucket, out_schema)
 
 
 def dynamic_window_exact(

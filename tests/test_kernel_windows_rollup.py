@@ -441,3 +441,56 @@ class TestGroupedSweep:
                                       100, agg="median")
         with pytest.raises(ValueError, match="positive"):
             kwin.window_sweep_grouped(codes[:1], ts[:1], val[:1], dur[:1], 0)
+
+
+class TestRolling:
+    """NumericTimeSeries.rolling: per-entry trailing-window aggregate over
+    values (current + entries overlapping [ts-w, ts)); grouped kernel vs
+    the sequential twin, plus a hand-checked fixture
+    (NumericTimeSeriesSpec rolling semantics)."""
+
+    def test_hand_checked(self):
+        # windows: entry at 30 sees the entry at 0 (0+25 > 30-20? 25 > 10 ok)
+        ents = [(0, 1.0, 25), (30, 2.0, 10), (100, 4.0, 10)]
+        got = kwin.rolling(ents, sum, 20, compress=False)
+        assert got == [(0, 1.0, 25), (30, 3.0, 10), (100, 4.0, 10)]
+        # window 200 sees everything
+        got = kwin.rolling(ents, max, 200, compress=False)
+        assert got == [(0, 1.0, 25), (30, 2.0, 10), (100, 4.0, 10)]
+        got = kwin.rolling(ents, sum, 200, compress=False)
+        assert got == [(0, 1.0, 25), (30, 3.0, 10), (100, 7.0, 10)]
+
+    @pytest.mark.parametrize("agg,fn", [
+        ("sum", sum), ("mean", lambda v: sum(v) / len(v)),
+        ("min", min), ("max", max),
+    ])
+    def test_grouped_matches_sequential(self, agg, fn):
+        from scala_timeseries_lib_spark.kernel.fitter import fit
+
+        rng = np.random.default_rng(29)
+        series = {}
+        for c in range(5):
+            n = int(rng.integers(1, 60))
+            ts = 1000 + np.cumsum(rng.integers(1, 2000, n)).astype(np.int64)
+            val = rng.normal(0, 5, n).round(2)
+            dur = rng.integers(1, 1800, n).astype(np.int64)
+            series[c] = fit(
+                list(zip(ts.tolist(), val.tolist(), dur.tolist())),
+                compress=False,
+            )
+        codes = np.concatenate(
+            [np.full(len(v), c, np.int64) for c, v in series.items()]
+        )
+        ts = np.concatenate([[e[0] for e in v] for v in series.values()])
+        val = np.concatenate([[e[1] for e in v] for v in series.values()])
+        dur = np.concatenate([[e[2] for e in v] for v in series.values()])
+        oc, ot, ov, od = kwin.rolling_grouped(
+            codes, ts, val, dur, 4000, agg=agg
+        )
+        for c, ents in series.items():
+            want = kwin.rolling(ents, fn, 4000, compress=False)
+            m = oc == c
+            got = list(zip(ot[m].tolist(), ov[m].tolist(), od[m].tolist()))
+            assert [(t, d) for t, _v, d in got] == [(t, d) for t, _v, d in want]
+            for (_gt, gv, _gd), (_wt, wv, _wd) in zip(got, want):
+                assert abs(gv - wv) <= 1e-9 * max(1.0, abs(wv))
