@@ -475,3 +475,37 @@ class TestOffsetPackingOverflowGuard:
                 left[k], right.get(k, []), kmerge.op_non_strict_plus
             )
             assert collect_series(summed, k) == expected
+
+
+class TestEntityCatalog:
+    def test_labels_ids_and_unit_mappers(self):
+        from scala_timeseries_lib_spark.entity import (
+            StaticUnitMapper,
+            SuffixUnitMapper,
+            TsId,
+            TsLabel,
+        )
+
+        lbl = TsLabel("temperature_c")
+        assert lbl.unit(SuffixUnitMapper()) == "c"
+        assert TsLabel("power").unit(SuffixUnitMapper()) is None
+        assert lbl.unit(StaticUnitMapper({"temperature_c": "celsius"})) == "celsius"
+        tsid = TsId("turbine-7", lbl)
+        assert tsid.key() == ("turbine-7", "temperature_c")
+
+    def test_with_units_relational(self, spark):
+        from scala_timeseries_lib_spark.entity import with_units
+
+        df = spark.createDataFrame(
+            [("e1", "power"), ("e1", "temperature_c"), ("e2", "unknown")],
+            "entity string, label string",
+        )
+        got = {
+            (r.entity, r.label): r.unit
+            for r in with_units(df, "label",
+                                {"power": "kW", "temperature_c": "c"}).collect()
+        }
+        assert got == {("e1", "power"): "kW", ("e1", "temperature_c"): "c",
+                       ("e2", "unknown"): None}
+        # no mapping -> null column, plan stays join-free
+        assert with_units(df, "label", {}).select("unit").distinct().collect()[0][0] is None
