@@ -411,6 +411,21 @@ def _q_sliding_exact_mean(spark, sf_dir):
     return _rle_repair(_round5(out), KEYS)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Distributed as-of join: every 'view' entry start probes the 'click'
+    series for the latest still-defined value -- the generalization of
+    at(t) to a large probe TABLE (no broadcast of either side)."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators.series_ops import asof_join
+
+    a, b = _ab(spark, sf_dir)
+    probes = b.select("user_id", "ts", F.col("value").alias("probe_value"))
+    return asof_join(probes, a, ["user_id"]).withColumnRenamed(
+        "value", "click_value"
+    )
+
+
 def _q_rolling_sum(spark, sf_dir):
     """NumericTimeSeries.rolling: per-entry trailing-window value sum
     (current entry + values of entries overlapping [ts - 1h, ts))."""
@@ -760,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_merge_minus_nonstrict": _q_merge_minus_nonstrict,
         "ts_merge_multiply": _q_merge_multiply,
         "ts_merge3_sum": _q_merge3_sum,
+        "ts_asof_join": _q_asof_join,
         "ts_rolling_sum_1h": _q_rolling_sum,
         "ts_sliding_exact_sum": _q_sliding_exact_sum,
         "ts_sliding_exact_mean": _q_sliding_exact_mean,
@@ -1250,6 +1266,15 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
             "COALESCE(a_val, b_val)", "a_val IS NOT NULL OR b_val IS NOT NULL"
         ),
         "ts_merge3_sum": _merge3_sql(),
+        "ts_asof_join": ENTRIES_CTE
+        + """,
+a AS (SELECT user_id, ts, value, validity FROM entries
+      WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, value FROM entries WHERE event_type = 'view')
+SELECT b.user_id, b.ts, b.value AS probe_value,
+       CASE WHEN b.ts < a.ts + a.validity THEN a.value END AS click_value
+FROM b ASOF LEFT JOIN a ON b.user_id = a.user_id AND b.ts >= a.ts
+""",
         "ts_rolling_sum_1h": ENTRIES_CTE
         + f""",
 rolled AS (

@@ -436,6 +436,74 @@ def at_timestamps(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    check_validity: bool = True,
+) -> DataFrame:
+    """Distributed as-of join: every left row gets the value of the LATEST
+    right entry with ``right.ts <= left.ts`` per key (the generalization of
+    ``at(t)`` from a broadcastable probe set to an arbitrarily large probe
+    TABLE). With ``check_validity`` the match must also still be defined at
+    the probe instant (``left.ts < right.ts + right.validity``), matching
+    the reference's ``at`` semantics; without it, plain last-observation.
+
+    Scale shape: the union-and-carry trick -- tag both sides, one hash
+    shuffle on the key, one ordered window pass with ``last(..,
+    ignorenulls)`` carrying the right side's payload forward. No broadcast
+    of either side, no range join explosion; skew follows the key
+    distribution like any windowed operator.
+
+    Output: the left rows (all columns) + ``value`` (null where no match).
+    """
+    left_cols = [c for c in left.columns if c not in (*key_cols, ts_col)]
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("_rv"),
+        F.lit(None).cast("long").alias("_rts"),
+        F.lit(None).cast("long").alias("_rdur"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_payload")
+        if left_cols else F.lit(None).alias("_payload"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col("ts").alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts first at equal ts: inclusive
+        F.col("value").alias("_rv"),
+        F.col("ts").alias("_rts"),
+        F.col("validity").alias("_rdur"),
+        F.lit(None).alias("_payload") if not left_cols
+        else F.lit(None).cast(l_tagged.schema["_payload"].dataType).alias("_payload"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_cv", F.last("_rv", ignorenulls=True).over(w))
+        .withColumn("_cts", F.last("_rts", ignorenulls=True).over(w))
+        .withColumn("_cdur", F.last("_rdur", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    value = F.col("_cv")
+    if check_validity:
+        value = F.when(
+            F.col("_ts") < F.col("_cts") + F.col("_cdur"), F.col("_cv")
+        )
+    return carried.select(
+        *key_cols,
+        F.col("_ts").alias(ts_col),
+        *[F.col("_payload")[c].alias(c) for c in left_cols],
+        value.alias("value"),
+    )
+
+
 def sample_strict_grid(
     df: DataFrame, key_cols: list[str], rate: int, start_expr=None
 ) -> DataFrame:

@@ -509,3 +509,35 @@ class TestEntityCatalog:
                        ("e2", "unknown"): None}
         # no mapping -> null column, plan stays join-free
         assert with_units(df, "label", {}).select("unit").distinct().collect()[0][0] is None
+
+
+class TestAsofJoin:
+    def test_semantics_and_payload_carry(self, spark):
+        from scala_timeseries_lib_spark.operators.series_ops import asof_join
+
+        right = make_df(spark, {"k": [(10, 1.0, 5), (20, 2.0, 5)]})
+        left = spark.createDataFrame(
+            [("k", 12, "a"), ("k", 16, "b"), ("k", 25, "c"), ("x", 5, "d")],
+            "key string, ts long, tag string",
+        )
+        got = {(r.key, r.ts): (r.tag, r.value)
+               for r in asof_join(left, right, ["key"]).collect()}
+        assert got == {
+            ("k", 12): ("a", 1.0),   # inside [10, 15)
+            ("k", 16): ("b", None),  # latest entry expired at 15
+            ("k", 25): ("c", None),  # entry [20, 25) expired exactly at 25
+            ("x", 5): ("d", None),   # key absent on the right
+        }
+        # plain last-observation (no validity check)
+        got2 = {(r.key, r.ts): r.value
+                for r in asof_join(left, right, ["key"],
+                                   check_validity=False).collect()}
+        assert got2 == {("k", 12): 1.0, ("k", 16): 1.0, ("k", 25): 2.0,
+                        ("x", 5): None}
+
+    def test_equal_ts_is_inclusive(self, spark):
+        from scala_timeseries_lib_spark.operators.series_ops import asof_join
+
+        right = make_df(spark, {"k": [(10, 7.0, 5)]})
+        left = spark.createDataFrame([("k", 10)], "key string, ts long")
+        assert asof_join(left, right, ["key"]).collect()[0].value == 7.0
