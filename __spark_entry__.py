@@ -411,6 +411,15 @@ def _q_sliding_exact_mean(spark, sf_dir):
     return _rle_repair(_round5(out), KEYS)
 
 
+def _q_interval_join(spark, sf_dir):
+    """Bucket-blocked interval join: all overlapping (click, view) entry
+    pairs per user with the overlap window."""
+    from scala_timeseries_lib_spark.operators.series_ops import interval_join
+
+    a, b = _ab(spark, sf_dir)
+    return interval_join(a, b, ["user_id"], bucket_ms=HOUR)
+
+
 def _q_asof_join(spark, sf_dir):
     """Distributed as-of join: every 'view' entry start probes the 'click'
     series for the latest still-defined value -- the generalization of
@@ -775,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_merge_minus_nonstrict": _q_merge_minus_nonstrict,
         "ts_merge_multiply": _q_merge_multiply,
         "ts_merge3_sum": _q_merge3_sum,
+        "ts_interval_join": _q_interval_join,
         "ts_asof_join": _q_asof_join,
         "ts_rolling_sum_1h": _q_rolling_sum,
         "ts_sliding_exact_sum": _q_sliding_exact_sum,
@@ -1266,6 +1276,20 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
             "COALESCE(a_val, b_val)", "a_val IS NOT NULL OR b_val IS NOT NULL"
         ),
         "ts_merge3_sum": _merge3_sql(),
+        "ts_interval_join": ENTRIES_CTE
+        + """,
+a AS (SELECT user_id, ts, value, validity FROM entries
+      WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, value, validity FROM entries
+      WHERE event_type = 'view')
+SELECT a.user_id, a.ts AS l_ts, a.value AS l_value,
+       b.ts AS r_ts, b.value AS r_value,
+       GREATEST(a.ts, b.ts) AS overlap_start,
+       CAST(LEAST(a.ts + a.validity, b.ts + b.validity)
+            - GREATEST(a.ts, b.ts) AS BIGINT) AS overlap_ms
+FROM a JOIN b ON a.user_id = b.user_id
+    AND a.ts < b.ts + b.validity AND b.ts < a.ts + a.validity
+""",
         "ts_asof_join": ENTRIES_CTE
         + """,
 a AS (SELECT user_id, ts, value, validity FROM entries

@@ -504,6 +504,60 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Interval (range) join: every pair of OVERLAPPING entries between two
+    entries tables, per key, with the overlap window.
+
+    Scale shape: a raw theta-join on the overlap predicate degenerates to a
+    per-key cross product. Instead both sides are bucket-blocked -- each
+    entry is exploded to the coarse ``bucket_ms`` buckets its domain spans
+    (sequence/explode, pure JVM) while KEEPING the original entry -- the
+    join is equi on (key, bucket) plus the overlap predicate, and a pair
+    spanning several shared buckets is emitted exactly once by attributing
+    it to the bucket containing the overlap start. Join work scales with
+    entries-per-bucket, not entries-per-key; pick ``bucket_ms`` near the
+    typical entry validity.
+
+    Output: key cols + l_ts, l_value, r_ts, r_value, overlap_start,
+    overlap_ms.
+    """
+    def blocked(df, tag):
+        until = F.col("ts") + F.col("validity")
+        b0 = F.floor(F.col("ts") / bucket_ms)
+        b1 = F.floor((until - 1) / bucket_ms)
+        return df.select(
+            *key_cols,
+            F.col("ts").alias(f"{tag}_ts"),
+            F.col("value").alias(f"{tag}_value"),
+            until.alias(f"{tag}_until"),
+            F.explode(F.sequence(b0, b1)).alias("bucket"),
+        )
+
+    a = blocked(left, "l")
+    b = blocked(right, "r")
+    ov_start = F.greatest("l_ts", "r_ts")
+    ov_end = F.least("l_until", "r_until")
+    return (
+        a.join(b, [*key_cols, "bucket"])
+        .filter(
+            (ov_start < ov_end)
+            # exactly-once: only the bucket containing the overlap start
+            & (F.floor(ov_start / bucket_ms) == F.col("bucket"))
+        )
+        .select(
+            *key_cols,
+            "l_ts", "l_value", "r_ts", "r_value",
+            ov_start.alias("overlap_start"),
+            (ov_end - ov_start).alias("overlap_ms"),
+        )
+    )
+
+
 def sample_strict_grid(
     df: DataFrame, key_cols: list[str], rate: int, start_expr=None
 ) -> DataFrame:

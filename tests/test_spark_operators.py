@@ -541,3 +541,29 @@ class TestAsofJoin:
         right = make_df(spark, {"k": [(10, 7.0, 5)]})
         left = spark.createDataFrame([("k", 10)], "key string, ts long")
         assert asof_join(left, right, ["key"]).collect()[0].value == 7.0
+
+
+class TestIntervalJoin:
+    def test_overlap_pairs_exactly_once(self, spark):
+        """A pair whose overlap spans MANY blocking buckets must be emitted
+        exactly once (attributed to the bucket holding the overlap start)."""
+        from scala_timeseries_lib_spark.operators.series_ops import interval_join
+
+        left = make_df(spark, {"k": [(1_000, 1.0, 50_000), (100_000, 2.0, 500)]})
+        right = make_df(spark, {"k": [(5_000, 9.0, 40_000),   # 45-bucket overlap
+                                      (100_400, 8.0, 50),     # inside entry 2
+                                      (200_000, 7.0, 100)]})  # no overlap
+        rows = interval_join(left, right, ["key"], bucket_ms=1_000).collect()
+        got = {(r.l_ts, r.r_ts): (r.overlap_start, r.overlap_ms) for r in rows}
+        assert got == {
+            (1_000, 5_000): (5_000, 40_000),
+            (100_000, 100_400): (100_400, 50),
+        }
+        assert len(rows) == 2  # no duplicate emissions across buckets
+
+    def test_touching_intervals_do_not_overlap(self, spark):
+        from scala_timeseries_lib_spark.operators.series_ops import interval_join
+
+        left = make_df(spark, {"k": [(0, 1.0, 100)]})
+        right = make_df(spark, {"k": [(100, 2.0, 100)]})
+        assert interval_join(left, right, ["key"], bucket_ms=50).count() == 0
