@@ -28,7 +28,38 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["stream_fit_entries", "stream_rollup", "STATE_SCHEMA"]
+__all__ = [
+    "stream_fit_entries",
+    "stream_rollup",
+    "stream_exact_dedup",
+    "STATE_SCHEMA",
+]
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    watermark_ms: int,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup of a document stream: emit each distinct text
+    (by md5) once; duplicates arriving within ``watermark_ms`` of the first
+    sighting are dropped (``dropDuplicatesWithinWatermark`` -- dedup state
+    is evicted once the watermark passes, so state is bounded by the late
+    window instead of the corpus). This is the streaming twin of
+    ``functions.dedup.exact_dedup``: at-most-once per text inside any
+    watermark window, with bounded state at unbounded input.
+    """
+    from pyspark.sql import functions as F
+
+    ev = docs.withColumn(
+        "_event_time", F.timestamp_millis(F.col(ts_col))
+    ).withColumn("_text_hash", F.md5(F.col(text_col)))
+    return (
+        ev.withWatermark("_event_time", f"{watermark_ms} milliseconds")
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+        .drop("_event_time", "_text_hash")
+    )
 
 STATE_SCHEMA = StructType(
     [

@@ -149,3 +149,40 @@ class TestStreamRollup:
         assert got == want
         # each closed bucket emitted exactly once
         assert spark.read.parquet(out).count() == len(got)
+
+
+class TestStreamExactDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
+        from scala_timeseries_lib_spark.streaming.structured import (
+            stream_exact_dedup,
+        )
+
+        schema = "doc_id long, ts long, text string"
+        src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+        os.makedirs(src, exist_ok=True)
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                stream_exact_dedup(stream, watermark_ms=60_000)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        b1 = [(1, 1_000, "alpha"), (2, 2_000, "beta"), (3, 3_000, "alpha")]
+        b2 = [(4, 10_000, "alpha"), (5, 11_000, "gamma")]
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+        run()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        run()
+
+        rows = spark.read.parquet(out).collect()
+        texts = sorted(r["text"] for r in rows)
+        assert texts == ["alpha", "beta", "gamma"]
+        # the surviving alpha is the FIRST sighting
+        assert [r["doc_id"] for r in rows if r["text"] == "alpha"] == [1]
