@@ -202,6 +202,20 @@ def _q_sliding_mean_1h(spark, sf_dir):
     return out.withColumn("value", F.round("value", 5))
 
 
+def _q_rollup_hist_median(spark, sf_dir):
+    """Histogram-sketch rollup: time-weighted 32-bin histogram per
+    (series, 1h bucket) -- an exactly-reaggregatable quantile sketch for
+    the retention tiers -- surfaced as the approximate median."""
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    h = ops.rollup_histogram(
+        _entries(spark, sf_dir), KEYS, HOUR, bins=32, lo=0.0, hi=100.0
+    )
+    return ops.histogram_median(h, bins=32, lo=0.0, hi=100.0).select(
+        *KEYS, "bucket", "support_ms", "median_approx"
+    )
+
+
 def _q_integrate_between(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -833,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fallback": _q_fallback,
         "ts_sliding_integral_1h": _q_sliding_integral_1h,
         "ts_sliding_mean_1h": _q_sliding_mean_1h,
+        "ts_rollup_hist_median_1h": _q_rollup_hist_median,
         "ts_integrate_between": _q_integrate_between,
         "ts_series_stats": _q_series_stats,
         "ts_gorilla_roundtrip": _q_gorilla_roundtrip,
@@ -1446,6 +1461,41 @@ FROM (
 WHERE next_ts - (ts + validity) > 0
 """,
         "ts_sample_closest": _sample_closest_sql(),
+        "ts_rollup_hist_median_1h": ENTRIES_CTE
+        + f""",
+pieces AS (
+    SELECT user_id, event_type, value, b.bucket AS bucket,
+        LEAST(ts + validity, b.bucket + {HOUR}) - GREATEST(ts, b.bucket) AS dur
+    FROM entries,
+    LATERAL (
+        SELECT UNNEST(generate_series(ts - (ts % {HOUR}),
+                                      (ts + validity - 1)
+                                          - ((ts + validity - 1) % {HOUR}),
+                                      {HOUR})) AS bucket
+    ) b
+),
+per_bin AS (
+    SELECT user_id, event_type, bucket,
+           CAST(LEAST(31, GREATEST(0, FLOOR(value / 3.125))) AS INT) AS bin,
+           SUM(dur) AS w
+    FROM pieces GROUP BY 1, 2, 3, 4
+),
+tot AS (
+    SELECT user_id, event_type, bucket, SUM(w) AS support_ms
+    FROM per_bin GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT p.user_id, p.event_type, p.bucket, p.bin, t.support_ms,
+           SUM(p.w) OVER (PARTITION BY p.user_id, p.event_type, p.bucket
+                          ORDER BY p.bin) AS cw
+    FROM per_bin p JOIN tot t USING (user_id, event_type, bucket)
+)
+SELECT user_id, event_type, bucket,
+       CAST(support_ms AS BIGINT) AS support_ms,
+       (MIN(CASE WHEN cw >= support_ms / 2.0 THEN bin END) + 0.5) * 3.125
+           AS median_approx
+FROM cum GROUP BY user_id, event_type, bucket, support_ms
+""",
         "ts_integrate_between": ENTRIES_CTE
         + f"""
 SELECT user_id, event_type,

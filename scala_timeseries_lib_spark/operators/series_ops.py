@@ -311,6 +311,93 @@ def group_entries_maxn(df: DataFrame, key_cols: list[str], max_n: int) -> DataFr
     ).drop("grp")
 
 
+def rollup_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    step: int,
+    bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    origin: int = 0,
+) -> DataFrame:
+    """Reaggregatable histogram sketch per rollup bucket: a fixed
+    equi-width, TIME-WEIGHTED histogram of the values in each (series,
+    bucket) -- ``hist[i]`` = total milliseconds the series spent in value
+    bin i (values clamped to [lo, hi)). Because the sufficient statistic is
+    an integer vector, coarser tiers reaggregate EXACTLY by element-wise
+    sum (see :func:`reaggregate_histogram`; pinned by test), giving the
+    retention tiers approximate quantiles at any granularity without
+    revisiting raw data -- the sketch analog of the wsum/dur statistics.
+
+    Pure Catalyst: boundary-split explode, then one hash aggregate with
+    ``bins`` conditional sums (map-side combine applies). Output: key_cols
+    + bucket, hist (array<long>, length ``bins``), support_ms.
+    """
+    pieces = split_at_buckets(df, step, origin)
+    width = (hi - lo) / bins
+    bin_idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - lo) / width)),
+    ).cast("int")
+    binned = pieces.withColumn("_bin", bin_idx)
+    return binned.groupBy(*key_cols, "bucket").agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("_bin") == i, F.col("validity"))),
+                    F.lit(0),
+                ).cast("long")
+                for i in range(bins)
+            ]
+        ).alias("hist"),
+        F.sum("validity").alias("support_ms"),
+    )
+
+
+def reaggregate_histogram(
+    df: DataFrame, key_cols: list[str], coarser_step: int, bins: int = 32
+) -> DataFrame:
+    """Roll a histogram tier up to a coarser bucket width by element-wise
+    integer sum -- exact, no raw data touched (buckets must nest)."""
+    coarse = df.withColumn(
+        "bucket",
+        (F.col("bucket") - F.pmod(F.col("bucket"), F.lit(coarser_step))),
+    )
+    return coarse.groupBy(*key_cols, "bucket").agg(
+        F.array(
+            *[F.sum(F.element_at("hist", i + 1)).cast("long")
+              for i in range(bins)]
+        ).alias("hist"),
+        F.sum("support_ms").alias("support_ms"),
+    )
+
+
+def histogram_median(
+    df: DataFrame, bins: int = 32, lo: float = 0.0, hi: float = 100.0
+) -> DataFrame:
+    """Approximate median from the histogram sketch: the midpoint of the
+    first bin whose cumulative time-weight reaches half the support.
+    Pure expression (an aggregate fold over the array), no explode."""
+    width = (hi - lo) / bins
+    # fold: carry (cum, found_bin); pick the first bin crossing half
+    half = F.col("support_ms") / 2.0
+    fold = F.aggregate(
+        F.col("hist"),
+        F.struct(F.lit(0.0).alias("cum"), F.lit(-1).alias("bin"),
+                 F.lit(0).alias("idx")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when(
+                (acc["bin"] == -1) & (acc["cum"] + x >= half), acc["idx"]
+            ).otherwise(acc["bin"]).alias("bin"),
+            (acc["idx"] + 1).alias("idx"),
+        ),
+    )
+    return df.withColumn(
+        "median_approx", F.lit(lo) + (fold["bin"] + 0.5) * width
+    )
+
+
 def integrate_between(
     df: DataFrame, key_cols: list[str], start: int, end: int
 ) -> DataFrame:

@@ -567,3 +567,34 @@ class TestIntervalJoin:
         left = make_df(spark, {"k": [(0, 1.0, 100)]})
         right = make_df(spark, {"k": [(100, 2.0, 100)]})
         assert interval_join(left, right, ["key"], bucket_ms=50).count() == 0
+
+
+class TestHistogramSketch:
+    def test_reaggregation_is_exact_and_median_matches_python(self, spark, series3):
+        _, fitted, df = series3
+        bins, lo, hi, step = 16, 0.0, 5.0, 60_000
+        fine = ops.rollup_histogram(df, ["key"], step, bins=bins, lo=lo, hi=hi)
+        coarse_direct = ops.rollup_histogram(
+            df, ["key"], 5 * step, bins=bins, lo=lo, hi=hi
+        )
+        coarse_re = ops.reaggregate_histogram(fine, ["key"], 5 * step, bins=bins)
+        a = {(r["key"], r["bucket"]): (list(r["hist"]), r["support_ms"])
+             for r in coarse_direct.collect()}
+        b = {(r["key"], r["bucket"]): (list(r["hist"]), r["support_ms"])
+             for r in coarse_re.collect()}
+        assert a == b  # integer counts -> EXACT reaggregation
+
+        med = {
+            (r["key"], r["bucket"]): r["median_approx"]
+            for r in ops.histogram_median(
+                coarse_re, bins=bins, lo=lo, hi=hi
+            ).collect()
+        }
+        width = (hi - lo) / bins
+        for (k, bucket), (hist, support) in a.items():
+            cum, chosen = 0, None
+            for i, w in enumerate(hist):
+                cum += w
+                if chosen is None and cum >= support / 2.0:
+                    chosen = i
+            assert med[(k, bucket)] == pytest.approx(lo + (chosen + 0.5) * width)
