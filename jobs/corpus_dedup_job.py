@@ -61,12 +61,18 @@ def main() -> None:
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
     ).select("doc_id")
-    kept_docs = docs.join(gated, "doc_id", "semi")
+    # the gated corpus feeds the pair generation, the clustering, and the
+    # final semi-join: cache it so the quality gate runs once
+    kept_docs = docs.join(gated, "doc_id", "semi").cache()
     n_gated = kept_docs.count()
 
-    pairs = minhash_lsh_pairs(kept_docs, max_bucket_size=args.max_bucket_size)
-    clusters = neardup_clusters(kept_docs, pairs)
+    # materialize the candidate pairs once: the lineage count and every
+    # clustering round read them
+    pairs = minhash_lsh_pairs(
+        kept_docs, max_bucket_size=args.max_bucket_size
+    ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
+    clusters = neardup_clusters(kept_docs, pairs)
 
     survivors = clusters.filter(
         F.col("doc_id") == F.col("canonical_id")

@@ -229,6 +229,10 @@ def neardup_clusters(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
     )
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without truncation each round would re-run the whole upstream
+    # candidate-generation pipeline (LSH banding etc.)
+    edges = edges.localCheckpoint(eager=True)
     labels = docs.select(F.col(id_col).alias("s"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):

@@ -306,6 +306,22 @@ def _rmq(vals, lo_idx, hi_idx, op):
 _GROUPED_AGGS = ("sum", "mean", "std", "min", "max", "integral")
 
 
+def _validate_fitted(codes, ts, until):
+    """The grouped kernels' searchsorted lookups need per-series monotone
+    start AND end times, i.e. the fitted contract (sorted, non-overlapping
+    entries). The sequential twins tolerate some malformed inputs; silently
+    diverging from them is worse than failing, so raise (like
+    fit_arrays_grouped does on its contract)."""
+    import numpy as np
+
+    same = codes[1:] == codes[:-1]
+    if np.any(same & (ts[1:] < until[:-1])):
+        raise ValueError(
+            "entries must be fitted (sorted, non-overlapping) per series; "
+            "run fit_entries first"
+        )
+
+
 def window_sweep_grouped(codes, ts, val, dur, width: int, agg: str = "sum",
                          timeunit: str = "ms"):
     """Vectorized exact sweep over MANY series at once.
@@ -354,6 +370,7 @@ def window_sweep_grouped(codes, ts, val, dur, width: int, agg: str = "sum",
         return empty
 
     until = ts + dur
+    _validate_fitted(codes, ts, until)
     base = int(ts.min())
     span = int(until.max()) - base
     stride = span + width + 2
@@ -455,6 +472,7 @@ def rolling_grouped(codes, ts, val, dur, window_ms: int, agg: str = "sum"):
     n = ts.size
     if n == 0:
         return codes, ts, val, dur
+    _validate_fitted(codes, ts, ts + dur)
     base = int(ts.min())
     span = int((ts + dur).max()) - base
     stride = span + window_ms + 2

@@ -32,6 +32,19 @@ NUMERIC_OPS = (
 _PACK_LIMIT = 1 << 62
 
 
+def _series_groups(codes, ts, val, dur, side):
+    """Shared scaffolding for the int64-overflow per-series fallbacks:
+    sort all arrays by (code, side, ts) and return them with the group
+    start offsets, so each fallback loop only supplies its kernel call."""
+    import numpy as np
+
+    order = np.lexsort((ts, side, codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    bounds = list(zip(starts, np.r_[starts[1:], codes_s.size]))
+    return (codes_s, ts[order], val[order], dur[order], side[order], bounds)
+
+
 def _pack_codes(codes, ts, dur):
     """Disjoint per-series int64 time regions, or None when the bucket's
     (n_series x time-span) product would overflow the packed axis -- callers
@@ -168,12 +181,11 @@ def merge_series(
             # packed axis would overflow int64: per-series loop (correct,
             # just not batch-vectorized; forced time_slice also re-bounds
             # the stride if this path ever dominates)
-            order = np.lexsort((ts, side, codes))
-            codes_s, ts_s = codes[order], ts[order]
-            val_s, dur_s, side_s = val[order], dur[order], side[order]
+            codes_s, ts_s, val_s, dur_s, side_s, bounds = _series_groups(
+                codes, ts, val, dur, side
+            )
             idx_parts, ts_p, val_p, dur_p = [], [], [], []
-            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
-            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+            for s0, s1 in bounds:
                 sm = side_s[s0:s1] == 0
                 m_ts, m_val, m_dur = _kernel(
                     (ts_s[s0:s1][sm], val_s[s0:s1][sm], dur_s[s0:s1][sm]),
@@ -316,12 +328,11 @@ def strict_zip_series(
 
         if packed is None:
             # int64-overflow fallback: per-series loop
-            order = np.lexsort((ts, side, codes))
-            codes_s, ts_s = codes[order], ts[order]
-            val_s, dur_s, side_s = val[order], dur[order], side[order]
-            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+            codes_s, ts_s, val_s, dur_s, side_s, bounds = _series_groups(
+                codes, ts, val, dur, side
+            )
             idx_p, ts_p, za_p, zb_p, dur_p = [], [], [], [], []
-            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+            for s0, s1 in bounds:
                 sm = side_s[s0:s1] == 0
                 z_ts, za, zb, z_dur = strict_zip_arrays(
                     ts_s[s0:s1][sm], val_s[s0:s1][sm], dur_s[s0:s1][sm],
@@ -421,12 +432,11 @@ def merge_series_n(
 
         if packed is None:
             # int64-overflow fallback: per-series loop
-            order = np.lexsort((ts, side, codes))
-            codes_s, ts_s = codes[order], ts[order]
-            val_s, dur_s, side_s = val[order], dur[order], side[order]
-            starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+            codes_s, ts_s, val_s, dur_s, side_s, bounds = _series_groups(
+                codes, ts, val, dur, side
+            )
             idx_p, ts_p, val_p, dur_p = [], [], [], []
-            for s0, s1 in zip(starts, np.r_[starts[1:], codes_s.size]):
+            for s0, s1 in bounds:
                 grp_sides = []
                 for i in range(n_sides):
                     m = side_s[s0:s1] == i

@@ -529,6 +529,7 @@ def asof_join(
     key_cols: list[str],
     ts_col: str = "ts",
     check_validity: bool = True,
+    output_col: str = "value",
 ) -> DataFrame:
     """Distributed as-of join: every left row gets the value of the LATEST
     right entry with ``right.ts <= left.ts`` per key (the generalization of
@@ -543,9 +544,16 @@ def asof_join(
     of either side, no range join explosion; skew follows the key
     distribution like any windowed operator.
 
-    Output: the left rows (all columns) + ``value`` (null where no match).
+    Output: the left rows (all columns) + ``output_col`` (null where no
+    match). ``output_col`` must not collide with a left column -- rename
+    the left column or pass a different name.
     """
     left_cols = [c for c in left.columns if c not in (*key_cols, ts_col)]
+    if output_col in left_cols:
+        raise ValueError(
+            f"output_col {output_col!r} collides with a left column; rename "
+            "it on the left side or pass a different output_col"
+        )
     l_tagged = left.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
@@ -587,7 +595,7 @@ def asof_join(
         *key_cols,
         F.col("_ts").alias(ts_col),
         *[F.col("_payload")[c].alias(c) for c in left_cols],
-        value.alias("value"),
+        value.alias(output_col),
     )
 
 

@@ -598,3 +598,29 @@ class TestHistogramSketch:
                 if chosen is None and cum >= support / 2.0:
                     chosen = i
             assert med[(k, bucket)] == pytest.approx(lo + (chosen + 0.5) * width)
+
+
+def test_asof_join_rejects_output_collision(spark):
+    from scala_timeseries_lib_spark.operators.series_ops import asof_join
+
+    right = make_df(spark, {"k": [(10, 1.0, 5)]})
+    left = spark.createDataFrame([("k", 12, 3.0)],
+                                 "key string, ts long, value double")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, ["key"])
+    # explicit output name resolves it
+    r = asof_join(left, right, ["key"], output_col="right_value").collect()[0]
+    assert (r.value, r.right_value) == (3.0, 1.0)
+
+
+def test_grouped_window_kernels_reject_unfitted_input(spark):
+    from scala_timeseries_lib_spark.kernel import window as kwin
+
+    codes = np.array([0, 0], np.int64)
+    ts = np.array([0, 10], np.int64)
+    val = np.array([1.0, 2.0])
+    dur = np.array([100, 5], np.int64)  # first entry overlaps the second
+    with pytest.raises(ValueError, match="fitted"):
+        kwin.window_sweep_grouped(codes, ts, val, dur, 50, agg="sum")
+    with pytest.raises(ValueError, match="fitted"):
+        kwin.rolling_grouped(codes, ts, val, dur, 50, agg="sum")
