@@ -43,7 +43,16 @@ def force(df) -> int:
 
 
 def tier_pipeline_points(spark, sf_dir: str):
-    """raw -> 1m -> 1h -> 1d retention tiers; returns emitted points."""
+    """raw -> 1m -> 1h -> 1d retention tiers; returns emitted points.
+
+    The 1m tier uses the round-3 full/partial split rollup (fully-covered
+    buckets bypass the hash aggregate). At sf0.1 the tier fits comfortably
+    in the SQL cache, so the chain caches the 1m union and reaggregates
+    from it (fastest shape at this size, measured). At scaling-bench size
+    (48x replication, ~300M points) the cache itself anti-scales in a
+    single JVM, so tools/scaling_bench.py chains from recomputed
+    key-partitioned branches instead -- see BENCH/BASELINE.md.
+    """
     import __spark_entry__ as entry_mod
     from scala_timeseries_lib_spark.operators import series_ops as ops
 

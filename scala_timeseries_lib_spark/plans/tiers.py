@@ -36,7 +36,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.series_ops import reaggregate_rollup, rollup_time_weighted
+from ..operators.series_ops import reaggregate_rollup, rollup_time_weighted_parts
 from .stateio import StateIO
 
 __all__ = ["TierPipeline", "TIER_STEPS"]
@@ -200,15 +200,27 @@ class TierPipeline:
             return lineage
 
         new_entries = new_entries.drop("p_salt")
-        tier_df = rollup_time_weighted(new_entries, self.key_cols, self.steps[finest])
+        # finest tier via the full/partial split: fully-covered buckets come
+        # straight out of a Generate+Project (no hash aggregate); only the
+        # <=2 edge pieces per entry aggregate. Both branches stay
+        # key-partitioned, so the first-run in-memory chain below
+        # reaggregates each branch shuffle-free (a union would report
+        # UnknownPartitioning and force a full finest-tier exchange).
+        par = spark.sparkContext.defaultParallelism * 2
+        base = new_entries.repartition(par, *self.key_cols)
+        b_full, b_part = rollup_time_weighted_parts(
+            base, self.key_cols, self.steps[finest]
+        )
         if changed_from:
             # drop partial buckets below the rewritten partitions (per salt)
-            tier_df = tier_df.filter(self._per_salt_bucket_filter(lows[finest]))
+            keep = self._per_salt_bucket_filter(lows[finest])
+            b_full, b_part = b_full.filter(keep), b_part.filter(keep)
         # persist each tier's PRE-salted frame: both its own write and the
         # next tier's reaggregation read it, so every tier is computed once
         # (caching the salted projection instead would not match the
         # reaggregation's subplan and each tier would recompute the chain)
-        persisted = []
+        persisted = [b_full.persist(), b_part.persist()]
+        tier_df = b_full.unionByName(b_part)
         try:
             for i, name in enumerate(names):
                 if i > 0:
@@ -223,13 +235,32 @@ class TierPipeline:
                         src = prev.filter(
                             self._per_salt_bucket_filter(lows[name])
                         )
+                        tier_df = reaggregate_rollup(
+                            src, self.key_cols, self.steps[name]
+                        )
+                    elif i == 1:
+                        # first run: chain from the persisted finest-tier
+                        # branches (each key-partitioned -> shuffle-free
+                        # partial reaggregation; only the per-branch partial
+                        # results shuffle for the final combine)
+                        h_parts = reaggregate_rollup(
+                            b_full, self.key_cols, self.steps[name]
+                        ).unionByName(
+                            reaggregate_rollup(
+                                b_part, self.key_cols, self.steps[name]
+                            )
+                        )
+                        tier_df = reaggregate_rollup(
+                            h_parts, self.key_cols, self.steps[name]
+                        )
                     else:
-                        src = tier_df  # first run: chain in memory
-                    tier_df = reaggregate_rollup(
-                        src, self.key_cols, self.steps[name]
-                    )
-                tier_df = tier_df.persist()
-                persisted.append(tier_df)
+                        # coarser first-run tiers chain from the previous
+                        # (small, persisted) tier frame
+                        tier_df = reaggregate_rollup(
+                            persisted[-1], self.key_cols, self.steps[name]
+                        )
+                    tier_df = tier_df.persist()
+                    persisted.append(tier_df)
                 self._write_tier(name, tier_df, lineage)
         finally:
             for df in persisted:

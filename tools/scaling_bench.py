@@ -1,21 +1,34 @@
 """Two-parallelism scaling measurement (the sandbox proxy for N vs 4N
-executors, BASELINE.json / BASELINE.md).
+executors, BASELINE.json / BENCH/BASELINE.md).
 
 Measures the tier rollup COMPUTE (raw -> 1m -> 1h -> 1d, forced via
 aggregation, no file-system writes) on an input amplified ``--replicate``
 times (distinct key spaces), so per-core work dominates fixed overhead.
 
+Masters: ``--cores K`` runs ``local[K]`` (threads in one JVM);
+``--master 'local-cluster[N,C,MEM_MB]'`` runs N separate executor JVMs with
+C cores each -- the honest multi-JVM proxy for N executors on a cluster
+(each JVM brings its own heap, allocator, and GC).
+
 Methodology notes (why warmup + best-of-k):
 - a fresh JVM runs the first rollup interpreted; whole-stage-codegen classes
   JIT-compile during it. One full untimed pipeline pass warms that up.
-- single-JVM local mode shares one heap across all cores; timing noise from
-  GC is real, so we report the best of ``--iters`` timed passes per core
-  count (the cluster-relevant steady-state number).
+- single-box timings vary +/-15-30% run to run with GC phase alignment and
+  VM co-tenancy, so we report the best of ``--iters`` timed passes per core
+  count (the cluster-relevant steady-state number). Pair this with
+  tools/cpu_ceiling_probe.py, which measures the box's OWN per-core
+  slowdown between the two parallelism levels -- the hardware ceiling any
+  workload (including a pure-CPU integer loop) is subject to.
+
+Tier chain (round 3, matches bench.py): 1m via the full/partial split
+(rollup_time_weighted_parts) forced WITHOUT a 74M-row cache; 1h chained
+from the recomputed key-partitioned branches (shuffle-free per branch, tiny
+final combine); 1d from the cached 1h tier.
 
 Prints one JSON line per run.
 
 Usage: python tools/scaling_bench.py --cores 8 [--sf-dir ...]
-       [--replicate 12] [--iters 2]
+       [--replicate 48] [--iters 3] [--master 'local-cluster[2,4,6144]']
 """
 
 from __future__ import annotations
@@ -31,11 +44,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--master", default=None,
+                    help="overrides --cores; e.g. local-cluster[2,4,6144]")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--replicate", type=int, default=12)
-    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--replicate", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
+    if not args.master and args.cores is None:
+        ap.error("need --cores or --master")
+    master = args.master or f"local[{args.cores}]"
+    if args.master and args.master.startswith("local-cluster["):
+        n, c, _m = args.master[len("local-cluster["):-1].split(",")
+        cores = int(n) * int(c)
+    else:
+        cores = args.cores
 
     from pyspark.sql import functions as F
 
@@ -45,8 +68,8 @@ def main() -> None:
     from scala_timeseries_lib_spark.plans.session import get_spark
 
     spark = get_spark(
-        master=f"local[{args.cores}]",
-        shuffle_partitions=max(args.cores * 2, 16),
+        master=master,
+        shuffle_partitions=max(cores * 2, 16),
         extra_conf={"spark.driver.memory": "24g"},
     )
     keys = ["user_id", "event_type"]
@@ -60,16 +83,20 @@ def main() -> None:
     entries = entries.persist()
     n_entries = entries.count()  # materialize input once, outside the timer
 
+    par = spark.sparkContext.defaultParallelism * 2
+
     def run():
-        tier_1m = ops.rollup_time_weighted(entries, keys, 60_000)
-        tier_1m.persist()
-        p1 = force(tier_1m)
-        tier_1h = ops.reaggregate_rollup(tier_1m, keys, 3_600_000)
+        df = entries.repartition(par, *keys)
+        full, partial = ops.rollup_time_weighted_parts(df, keys, 60_000)
+        p1 = force(full.unionByName(partial))
+        h_parts = ops.reaggregate_rollup(full, keys, 3_600_000).unionByName(
+            ops.reaggregate_rollup(partial, keys, 3_600_000)
+        )
+        tier_1h = ops.reaggregate_rollup(h_parts, keys, 3_600_000)
         tier_1h.persist()
         p2 = force(tier_1h)
         tier_1d = ops.reaggregate_rollup(tier_1h, keys, 86_400_000)
         p3 = force(tier_1d)
-        tier_1m.unpersist()
         tier_1h.unpersist()
         return p1 + p2 + p3
 
@@ -85,7 +112,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cores": args.cores,
+                "master": master,
+                "cores": cores,
                 "entries": n_entries,
                 "points": points,
                 "wall_sec": round(best, 3),
