@@ -255,7 +255,7 @@ def _q_gorilla_roundtrip(spark, sf_dir):
 
     from scala_timeseries_lib_spark.kernel.gorilla import (
         compress_tuple_block_arrays,
-        decompress_tuple_block_arrays,
+        decompress_tuple_blocks_arrays,
     )
 
     entries = _entries(spark, sf_dir)
@@ -286,13 +286,15 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         dur = pdf["validity"].to_numpy()
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         ends = np.r_[starts[1:], codes.size]
-        o_t, o_v, o_d = [], [], []
-        for s0, s1 in zip(starts, ends):
-            t, v, d = decompress_tuple_block_arrays(
-                compress_tuple_block_arrays(
-                    ts[s0:s1], val[s0:s1], dur[s0:s1], compress=False
-                )
+        blobs = [
+            compress_tuple_block_arrays(
+                ts[s0:s1], val[s0:s1], dur[s0:s1], compress=False
             )
+            for s0, s1 in zip(starts, ends)
+        ]
+        # every series of the bucket decodes in ONE lockstep lane batch
+        o_t, o_v, o_d = [], [], []
+        for t, v, d in decompress_tuple_blocks_arrays(blobs):
             o_t.append(t)
             o_v.append(v)
             o_d.append(d)

@@ -166,7 +166,7 @@ def read_blocks(
     GorillaSuperBlock.scala:53-84)."""
     import pandas as pd
 
-    from ..kernel.gorilla import decompress_array, decompress_tuple_block_arrays
+    from ..kernel.gorilla import decompress_arrays, decompress_tuple_blocks_arrays
 
     if from_ts is not None:
         blocks = blocks.filter(
@@ -186,15 +186,28 @@ def read_blocks(
     )
 
     def _decode(batches):
+        # all blocks of the Arrow batch decode in one lockstep lane batch
+        # (kernel/gorilla.py decompress_arrays): the control-bit state
+        # machine advances every block one entry per numpy step, so Python
+        # overhead amortizes over the batch width
         for pdf in batches:
+            rows = list(pdf.itertuples(index=False))
+            sampled = [
+                bytes(r.block_bytes) for r in rows if r.block_type == "sampled"
+            ]
+            tuples = [
+                bytes(r.block_bytes) for r in rows if r.block_type != "sampled"
+            ]
+            dec_sampled = iter(decompress_arrays(sampled))
+            dec_tuples = iter(decompress_tuple_blocks_arrays(tuples))
             ts_p, val_p, dur_p, counts = [], [], [], []
-            for row in pdf.itertuples(index=False):
+            for row in rows:
                 if row.block_type == "sampled":
-                    t, v = decompress_array(bytes(row.block_bytes))
+                    t, v = next(dec_sampled)
                     v = v.view(np.float64)
                     d = np.full(t.size, int(row.sample_rate), np.int64)
                 else:
-                    t, v, d = decompress_tuple_block_arrays(bytes(row.block_bytes))
+                    t, v, d = next(dec_tuples)
                 ts_p.append(t)
                 val_p.append(v)
                 dur_p.append(d)

@@ -141,6 +141,106 @@ class TestPropertyRoundTrips:
         assert len(data) < n * 16 / 10  # >10x better than raw (ts,value) pairs
 
 
+class TestLockstepBatchDecoder:
+    """decompress_arrays (lockstep lane decoder) must agree bit-for-bit with
+    both the two-phase single-block decoder and the sequential twin on every
+    block of a heterogeneous batch."""
+
+    def _random_batch(self, rng, n_blocks):
+        blocks, expected = [], []
+        for trial in range(n_blocks):
+            n = int(rng.integers(1, 400))
+            ts = 1 + np.cumsum(rng.integers(1, 10_000, n).astype(np.int64))
+            kind = trial % 5
+            if kind == 0:
+                vals = rng.normal(100, 50, n).view(np.uint64)
+            elif kind == 1:
+                vals = rng.integers(-5, 5, n).astype(np.float64).view(np.uint64)
+            elif kind == 2:
+                vals = np.full(n, 3.14159).view(np.uint64)  # all-reuse / no-change
+            elif kind == 3:
+                sp = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, 1.7e308])
+                vals = sp[rng.integers(0, len(sp), n)].view(np.uint64)
+            else:
+                vals = rng.integers(0, 2**63 - 1, n, dtype=np.int64).astype(np.uint64)
+            blocks.append(compress_array(ts, vals))
+            expected.append((ts, vals))
+        return blocks, expected
+
+    def test_matches_single_block_decoders(self):
+        from scala_timeseries_lib_spark.kernel.gorilla import (
+            _decompress_array_py,
+            decompress_arrays,
+        )
+
+        rng = np.random.default_rng(99)
+        blocks, expected = self._random_batch(rng, 60)
+        decoded = decompress_arrays(blocks)
+        assert len(decoded) == len(blocks)
+        for blob, (t_exp, v_exp), (t_got, v_got) in zip(blocks, expected, decoded):
+            assert np.array_equal(t_got, t_exp)
+            assert np.array_equal(v_got, v_exp)
+            t_two, v_two = decompress_array(blob)
+            t_py, v_py = _decompress_array_py(blob)
+            assert np.array_equal(t_got, t_two) and np.array_equal(v_got, v_two)
+            assert np.array_equal(t_got, t_py) and np.array_equal(v_got, v_py)
+
+    def test_single_entry_and_size_skew(self):
+        from scala_timeseries_lib_spark.kernel.gorilla import decompress_arrays
+
+        # one-entry blocks next to a long block: lanes retire at different steps
+        long_ts = 1 + 1000 * np.arange(5000, dtype=np.int64)
+        long_vals = np.cumsum(np.ones(5000)).view(np.uint64)
+        blocks = [
+            compress_array(np.array([7], np.int64), np.array([1.5]).view(np.uint64)),
+            compress_array(long_ts, long_vals),
+            compress_array(np.array([1, 2], np.int64),
+                           np.array([0.0, 0.0]).view(np.uint64)),
+        ]
+        out = decompress_arrays(blocks)
+        assert np.array_equal(out[0][0], [7])
+        assert np.array_equal(out[1][0], long_ts)
+        assert np.array_equal(out[1][1], long_vals)
+        assert np.array_equal(out[2][1].view(np.float64), [0.0, 0.0])
+
+    def test_empty_and_corrupt_batch(self):
+        from scala_timeseries_lib_spark.kernel.gorilla import decompress_arrays
+
+        assert decompress_arrays([]) == []
+        good = compress_array(np.array([1, 2, 3], np.int64),
+                              np.array([1.0, 2.0, 3.0]).view(np.uint64))
+        with pytest.raises(ValueError):
+            decompress_arrays([good, b"garbage"])
+        with pytest.raises(ValueError):
+            decompress_arrays([good, good[:14]])
+
+    def test_tuple_blocks_batch(self):
+        from scala_timeseries_lib_spark.kernel.gorilla import (
+            compress_tuple_block_arrays,
+            decompress_tuple_blocks_arrays,
+        )
+
+        rng = np.random.default_rng(5)
+        blobs, exp = [], []
+        for _ in range(20):
+            n = int(rng.integers(1, 200))
+            ts = 1 + np.cumsum(rng.integers(1, 5_000, n).astype(np.int64))
+            vals = rng.normal(0, 10, n)
+            dur = rng.integers(1, 4_000, n).astype(np.int64)
+            blobs.append(
+                compress_tuple_block_arrays(ts, vals, dur, compress=False)
+            )
+            from scala_timeseries_lib_spark.kernel.fitter import fit_arrays
+
+            exp.append(fit_arrays(ts, vals, dur, compress=False))
+        for (t, v, d), (te, ve, de) in zip(
+            decompress_tuple_blocks_arrays(blobs), exp
+        ):
+            assert np.array_equal(t, te)
+            assert np.array_equal(v, ve)
+            assert np.array_equal(d, de)
+
+
 class TestVectorizedEncoderCrossCheck:
     def test_vec_and_sequential_encoders_roundtrip_identically(self):
         import numpy as np
