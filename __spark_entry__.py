@@ -427,6 +427,50 @@ def _q_sliding_exact_mean(spark, sf_dir):
     return _rle_repair(_round5(out), KEYS)
 
 
+def _q_sliding_exact_median(spark, sf_dir):
+    """Exact sweep with the QUEUE aggregator (CollectAggregator,
+    BasicAggregators.scala:127-136 / Aggregator.scala:60-63): at every
+    emission boundary the exact median of the raw in-window values over
+    holey, irregular entries; empty windows are holes. Runs the sequential
+    per-series sweep -- the collect case is not add/drop-reversible."""
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+    from scala_timeseries_lib_spark.operators.merge import _rle_repair
+    from scala_timeseries_lib_spark.operators.window import sliding_window_exact
+
+    sliced = ops.slice_series(_entries(spark, sf_dir), SLIDE_LO, SLIDE_HI)
+    out = sliding_window_exact(
+        sliced, KEYS, HOUR, agg="median", compress=False
+    )
+    return _rle_repair(_round5(out), KEYS)
+
+
+def _q_reservoir_stats(spark, sf_dir):
+    """Uniform-reservoir stats snapshot per series (Vitter Algorithm R,
+    stats/ThreadUnsafeDoubleUniformReservoir.scala:26-78): bottom-k by
+    uniform hash as the distributed sampling rule; exact min/max/count,
+    sample mean / SAMPLE stddev / codahale-interpolated median. At sf0.01
+    every series fits the 1028-slot reservoir, so the snapshot is exactly
+    the full-series stats and the SQL oracle needs no hash replication;
+    the capped path is pinned against the sequential kernel twin in
+    pytest."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+
+    out = ops.reservoir_stats(_entries(spark, sf_dir), KEYS, size=1028)
+
+    def r5(c):
+        # epsilon-floor rounding, engine-agnostic (ROUND is half-even in
+        # DuckDB, half-up in Spark)
+        return F.floor(F.col(c) * 100000 + 0.5 + 1e-6) / 100000
+
+    return (
+        out.withColumn("mean", r5("mean"))
+        .withColumn("stddev", r5("stddev"))
+        .withColumn("median", r5("median"))
+    )
+
+
 def _q_interval_join(spark, sf_dir):
     """Bucket-blocked interval join: all overlapping (click, view) entry
     pairs per user with the overlap window."""
@@ -805,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_sum_1h": _q_rolling_sum,
         "ts_sliding_exact_sum": _q_sliding_exact_sum,
         "ts_sliding_exact_mean": _q_sliding_exact_mean,
+        "ts_sliding_exact_median": _q_sliding_exact_median,
+        "ts_reservoir_stats": _q_reservoir_stats,
         "ts_sliding_min_1h": _q_sliding_min_1h,
         "ts_sliding_max_1h": _q_sliding_max_1h,
         "ts_sliding_std_1h": _q_sliding_std_1h,
@@ -1351,6 +1397,42 @@ FROM grp GROUP BY user_id, event_type, island, value
             + ", src AS (SELECT user_id, event_type, ts, value, validity "
             "FROM entries)",
             "COALESCE(SUM(e.value), 0.0)",
+            HOUR,
+        ),
+        "ts_reservoir_stats": ENTRIES_CTE + """
+, g AS (
+    SELECT user_id, event_type, COUNT(*) AS n,
+           MIN(value) AS vmin, MAX(value) AS vmax,
+           COUNT(*) AS sample_n, AVG(value) AS mean_raw,
+           CASE WHEN COUNT(*) > 1 THEN STDDEV_SAMP(value)
+                ELSE 0.0 END AS sd_raw,
+           list(value ORDER BY value) AS l
+    FROM entries GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n, vmin, vmax, sample_n,
+       FLOOR(mean_raw * 100000 + 0.5 + 0.000001) / 100000 AS mean,
+       FLOOR(sd_raw * 100000 + 0.5 + 0.000001) / 100000 AS stddev,
+       FLOOR((CASE WHEN CAST(FLOOR(0.5*(n+1)) AS BIGINT) < 1 THEN l[1]
+                  WHEN CAST(FLOOR(0.5*(n+1)) AS BIGINT) >= n
+                      THEN l[CAST(n AS BIGINT)]
+                  ELSE l[CAST(FLOOR(0.5*(n+1)) AS BIGINT)]
+                       + (0.5*(n+1) - FLOOR(0.5*(n+1)))
+                         * (l[CAST(FLOOR(0.5*(n+1)) AS BIGINT) + 1]
+                            - l[CAST(FLOOR(0.5*(n+1)) AS BIGINT)])
+             END) * 100000 + 0.5 + 0.000001) / 100000 AS median
+FROM g
+""",
+        "ts_sliding_exact_median": _sliding_exact_sql(
+            ENTRIES_CTE
+            + f""", src AS (
+    SELECT user_id, event_type,
+           GREATEST(ts, {SLIDE_LO}) AS ts, value,
+           LEAST(ts + validity, {SLIDE_HI}) - GREATEST(ts, {SLIDE_LO})
+               AS validity
+    FROM entries
+    WHERE ts < {SLIDE_HI} AND ts + validity > {SLIDE_LO}
+)""",
+            "MEDIAN(e.value)",
             HOUR,
         ),
         "ts_sliding_exact_mean": _sliding_exact_sql(

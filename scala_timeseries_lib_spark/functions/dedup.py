@@ -167,9 +167,11 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` caps degenerate hot buckets: a bucket holding m docs
     emits m^2/2 pairs, so one boilerplate-dominated signature (empty docs,
     templated pages) can turn the bucket join quadratic. Buckets above the
-    cap are dropped before the self-join -- their members are near-exact
-    duplicates of each other and are already caught by ``exact_dedup`` /
-    handled by downstream clustering of surviving pairs."""
+    cap skip the self-join and instead emit STAR pairs -- every member
+    paired with the bucket's minimum doc id, O(m) pairs -- so their members
+    still land in one connected component downstream (dropping the bucket
+    outright would silently exempt near-exact templated pages from dedup;
+    byte-identical docs are the only ones exact_dedup already catches)."""
     rows_per_band = len(MINHASH_A) // bands
     sig = minhash_signatures(df, text_col, n)
     banded = sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -182,15 +184,28 @@ def minhash_lsh_pairs(
     # repartition exchange on (band, bucket) lets ReuseExchange run the
     # signature pipeline once and feeds the join pre-partitioned
     buckets = buckets.repartition("band", "bucket")
+    star = None
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("_hub"))
             .filter(F.col("m") > max_bucket_size)
-            .select("band", "bucket")
+            .select("band", "bucket", "_hub")
         )
-        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
-    return (
+        # hot is tiny (a handful of degenerate signatures): broadcast both
+        # the anti-join that removes hot buckets from the quadratic path and
+        # the equi-join that emits their linear star pairs
+        star = (
+            buckets.join(F.broadcast(hot), ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        buckets = buckets.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
+    pairs = (
         buckets.alias("a")
         .join(
             buckets.alias("b"),
@@ -199,8 +214,10 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def neardup_clusters(

@@ -26,6 +26,7 @@ __all__ = [
     "rollup_time_weighted_parts",
     "reaggregate_rollup",
     "series_stats",
+    "reservoir_stats",
     "sample_strict_grid",
     "at_timestamps",
     "domain_union_intersect",
@@ -307,6 +308,7 @@ def rollup_time_weighted(
     origin: int = 0,
     round_to: int | None = None,
     disjoint: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Continuous-aggregate rollup (TimeSeries.scala:501-508): boundary-split
     then per-bucket aggregates. Emits the reaggregatable sufficient
@@ -330,9 +332,20 @@ def rollup_time_weighted(
     would serialize the 60x-amplified Generate. Hash partitioning on the key
     satisfies the (key, bucket) group clustering, so no aggregation in the
     plan needs a further exchange (verify with .explain).
+
+    ``skew_safe=True`` trades that shuffle-free chain for straggler
+    immunity: the input is spread round-robin instead of clustered by key,
+    so ONE pathological series (a hot domain with millions of snapshots)
+    splits across every core instead of serializing one task; Catalyst
+    inserts the (key, bucket) exchange the aggregation then needs. Use it
+    when a single key dominates the input (measured in
+    tools/skew_bench.py); the default is faster when keys are plentiful.
     """
     sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism * 2, *key_cols)
+    if skew_safe:
+        df = df.repartition(sc.defaultParallelism * 2)
+    else:
+        df = df.repartition(sc.defaultParallelism * 2, *key_cols)
     if disjoint:
         full, partial = rollup_time_weighted_parts(df, key_cols, step, origin)
         return _rollup_round(full, round_to).unionByName(
@@ -368,6 +381,57 @@ def reaggregate_rollup(
         F.sum("support_ms").alias("support_ms"),
         F.sum("n_pieces").alias("n_pieces"),
     )
+
+
+def reservoir_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    size: int = 1028,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed analog of the reference's uniform reservoir snapshot
+    (stats/ThreadUnsafeDoubleUniformReservoir.scala:26-78, Vitter Algorithm
+    R): per series, a uniform without-replacement sample of <= ``size``
+    values plus the snapshot Stats over it -- real min/max/count over ALL
+    observations, mean / SAMPLE stddev / codahale-interpolated median
+    (pos = q*(n+1), lines 132-147) over the sample.
+
+    Sampling strategy: bottom-k by a uniform 64-bit hash of the row.
+    Equivalent in distribution to Algorithm R's uniform sample, but
+    order-independent, deterministic under ``seed``, and mergeable across
+    partitions -- one window rank + one aggregation, no sequential state.
+    The sequential kernel twin (kernel.reservoir.Reservoir) is pinned equal
+    on the sample=everything case in tests.
+
+    Output: key_cols + n, vmin, vmax, sample_n, mean, stddev, median.
+    """
+    u = F.xxhash64(*key_cols, F.col("ts"), F.lit(seed))
+    w = Window.partitionBy(*key_cols).orderBy(u.asc(), F.col("ts").asc())
+    ranked = df.withColumn("_in", F.row_number().over(w) <= size)
+    sample_v = F.when(F.col("_in"), F.col("value"))
+    arr = F.sort_array(F.collect_list(sample_v))
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(F.when(F.col("_in"), 1).otherwise(0)).alias("sample_n"),
+        F.avg(sample_v).alias("mean"),
+        F.coalesce(F.stddev_samp(sample_v), F.lit(0.0)).alias("stddev"),
+        arr.alias("_arr"),
+    )
+    ns = F.size("_arr")
+    pos = 0.5 * (ns + 1)
+    idx = F.floor(pos).cast("int")
+    median = (
+        F.when(idx < 1, F.element_at("_arr", 1))
+        .when(idx >= ns, F.element_at("_arr", ns))
+        .otherwise(
+            F.element_at("_arr", idx)
+            + (pos - F.floor(pos))
+            * (F.element_at("_arr", idx + 1) - F.element_at("_arr", idx))
+        )
+    )
+    return agg.withColumn("median", median).drop("_arr")
 
 
 def append_series(
@@ -482,13 +546,16 @@ def rollup_histogram(
 
 
 def reaggregate_histogram(
-    df: DataFrame, key_cols: list[str], coarser_step: int, bins: int = 32
+    df: DataFrame, key_cols: list[str], coarser_step: int, bins: int = 32,
+    origin: int = 0,
 ) -> DataFrame:
     """Roll a histogram tier up to a coarser bucket width by element-wise
-    integer sum -- exact, no raw data touched (buckets must nest)."""
+    integer sum -- exact, no raw data touched (buckets must nest).
+    ``origin`` must match the anchor the finer tier was built with
+    (rollup_histogram's ``origin``), like reaggregate_rollup's."""
     coarse = df.withColumn(
         "bucket",
-        (F.col("bucket") - F.pmod(F.col("bucket"), F.lit(coarser_step))),
+        (F.col("bucket") - F.pmod(F.col("bucket") - origin, F.lit(coarser_step))),
     )
     return coarse.groupBy(*key_cols, "bucket").agg(
         F.array(
@@ -657,6 +724,7 @@ def asof_join(
     ts_col: str = "ts",
     check_validity: bool = True,
     output_col: str = "value",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed as-of join: every left row gets the value of the LATEST
     right entry with ``right.ts <= left.ts`` per key (the generalization of
@@ -671,34 +739,51 @@ def asof_join(
     of either side, no range join explosion; skew follows the key
     distribution like any windowed operator.
 
-    Output: the left rows (all columns) + ``output_col`` (null where no
-    match). ``output_col`` must not collide with a left column -- rename
-    the left column or pass a different name.
+    Output: the left rows (``key_cols`` + ``ts_col`` + carried columns) +
+    ``output_col`` (null where no match). ``output_col`` must not collide
+    with a carried left column -- rename the left column or pass a
+    different name.
+
+    ``payload_cols`` selects which non-key left columns ride through the
+    union+window carry (default: all of them). The carry's exchange and
+    sort ship every payload byte, so for a WIDE left table pass only the
+    columns the consumer needs -- carrying an unused 1 KiB payload column
+    through the shuffle costs more than the join itself at scale.
+
+    The right side's (value, ts, validity) ride as ONE struct through a
+    single ``last(ignorenulls)`` so the three fields can never desync
+    (a right row either contributes all three or none).
     """
-    left_cols = [c for c in left.columns if c not in (*key_cols, ts_col)]
-    if output_col in left_cols:
+    payload = (
+        [c for c in left.columns if c not in (*key_cols, ts_col)]
+        if payload_cols is None
+        else list(payload_cols)
+    )
+    if output_col in payload:
         raise ValueError(
             f"output_col {output_col!r} collides with a left column; rename "
             "it on the left side or pass a different output_col"
         )
+    r_struct = F.struct(
+        F.col("value").alias("v"),
+        F.col("ts").alias("ts"),
+        F.col("validity").alias("dur"),
+    )
+    null_struct = F.lit(None).cast("struct<v:double,ts:bigint,dur:bigint>")
     l_tagged = left.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("double").alias("_rv"),
-        F.lit(None).cast("long").alias("_rts"),
-        F.lit(None).cast("long").alias("_rdur"),
-        F.struct(*[F.col(c) for c in left_cols]).alias("_payload")
-        if left_cols else F.lit(None).alias("_payload"),
+        null_struct.alias("_r"),
+        F.struct(*[F.col(c) for c in payload]).alias("_payload")
+        if payload else F.lit(None).alias("_payload"),
     )
     r_tagged = right.select(
         *key_cols,
         F.col("ts").alias("_ts"),
         F.lit(0).alias("_side"),  # right sorts first at equal ts: inclusive
-        F.col("value").alias("_rv"),
-        F.col("ts").alias("_rts"),
-        F.col("validity").alias("_rdur"),
-        F.lit(None).alias("_payload") if not left_cols
+        r_struct.alias("_r"),
+        F.lit(None).alias("_payload") if not payload
         else F.lit(None).cast(l_tagged.schema["_payload"].dataType).alias("_payload"),
     )
     w = (
@@ -708,20 +793,18 @@ def asof_join(
     )
     carried = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("_cv", F.last("_rv", ignorenulls=True).over(w))
-        .withColumn("_cts", F.last("_rts", ignorenulls=True).over(w))
-        .withColumn("_cdur", F.last("_rdur", ignorenulls=True).over(w))
+        .withColumn("_c", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
-    value = F.col("_cv")
+    value = F.col("_c.v")
     if check_validity:
         value = F.when(
-            F.col("_ts") < F.col("_cts") + F.col("_cdur"), F.col("_cv")
+            F.col("_ts") < F.col("_c.ts") + F.col("_c.dur"), F.col("_c.v")
         )
     return carried.select(
         *key_cols,
         F.col("_ts").alias(ts_col),
-        *[F.col("_payload")[c].alias(c) for c in left_cols],
+        *[F.col("_payload")[c].alias(c) for c in payload],
         value.alias(output_col),
     )
 

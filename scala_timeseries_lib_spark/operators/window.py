@@ -114,7 +114,11 @@ def sliding_window_exact(
     """Reference-exact slidingWindow / slidingIntegral per series
     (TimeSeries.scala:412-443). One shuffle on the key.
 
-    For the standard aggregators (sum/mean/std/min/max/integral) the whole
+    ``agg="median"`` is the queue-aggregator case (CollectAggregator --
+    the window's whole contents ride along); it runs the sequential
+    per-series sweep since the aggregate is not expressible as reversible
+    add/drop state. For the standard aggregators
+    (sum/mean/std/min/max/integral) the whole
     salt bucket runs through ONE vectorized kernel call
     (kernel.window.window_sweep_grouped: prefix-sum differences and
     sparse-table range min/max over the contiguous window ranges, offset-
@@ -144,7 +148,20 @@ def sliding_window_exact(
     )
     out_names = [f.name for f in out_schema.fields]
 
+    if agg not in _AGG_FACTORIES and agg != "median":
+        raise ValueError(f"unknown agg {agg!r}")
+
     def make_agg():
+        if agg == "median":
+            # the queueAggregator case (CollectAggregator, reference
+            # BasicAggregators.scala:127-136 / Aggregator.scala:60-63): the
+            # whole window rides along and the aggregate is a function of
+            # its contents; empty windows are holes (None)
+            import statistics  # noqa: PLC0415
+
+            return kwin.CollectAggregator(
+                fn=lambda vals: statistics.median(vals) if vals else None
+            )
         cls = getattr(kwin, _AGG_FACTORIES[agg])
         if agg == "integral":
             return cls(timeunit)

@@ -10,10 +10,15 @@ whenever the path carries a scheme (or a session is supplied), and keeps a
 python-only fallback for scheme-less paths so the classes stay usable
 without a session.
 
-Atomic commit protocol: write ``<path>.tmp``, delete the target, rename the
-tmp over it. Hadoop ``rename`` is atomic per filesystem and the
-delete+rename pair is the standard Hadoop checkpoint-commit pattern (what
-Spark's own HDFSMetadataLog does); the local branch uses ``os.replace``.
+Commit protocol: write ``<path>.tmp``, delete the target, rename the tmp
+over it. The local branch (``os.replace``) is atomic. The Hadoop branch is
+NOT fully atomic: a driver crash between the delete and the rename leaves
+only ``<path>.tmp`` behind. ``read_json_state`` closes that window on the
+read side -- if the target is missing but a COMPLETE (JSON-parseable) tmp
+survives, it is promoted to the target and used; a torn/partial tmp is
+ignored. State readers (TierPipeline checkpoint, AppendStream pointer) go
+through ``read_json_state``, so a crashed commit recovers instead of
+silently restarting from empty state.
 """
 
 from __future__ import annotations
@@ -111,3 +116,23 @@ class StateIO:
 
     def write_json_atomic(self, path: str, obj) -> None:
         self.write_text_atomic(path, json.dumps(obj, indent=1, sort_keys=True))
+
+    def read_json_state(self, path: str):
+        """Read committed JSON state, or ``None`` if there is none.
+
+        Crash recovery (see module docstring): if ``path`` is missing but a
+        complete ``<path>.tmp`` parses as JSON, the tmp is the state a
+        crashed commit failed to rename -- promote it and return it. A tmp
+        that fails to parse is a torn write and is ignored.
+        """
+        if self.exists(path):
+            return self.read_json(path)
+        tmp = path + ".tmp"
+        if not self.exists(tmp):
+            return None
+        try:
+            obj = json.loads(self.read_text(tmp))
+        except ValueError:
+            return None
+        self.write_json_atomic(path, obj)
+        return obj

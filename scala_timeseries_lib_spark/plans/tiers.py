@@ -1,12 +1,14 @@
 """Continuous-aggregate retention tiers: raw entries -> 1m -> 1h -> 1d.
 
-Each tier is a partitioned parquet table of rolled-up points carrying
+Each tier is a partitioned table of rolled-up points carrying
 reaggregatable sufficient statistics, so every coarser tier is computed
 from the previous tier without touching raw data (wsum/dur/min/max are
-associative). The write path is plain ``DataFrameWriter`` with dynamic
-partition overwrite: pointing it at an Iceberg catalog table is a
-one-line swap when a runtime jar is present (none ships in this sandbox),
-and the partition spec carries over unchanged.
+associative). The physical format goes through the StorageBackend seam
+(plans/storage.py): partitioned parquet with dynamic partition overwrite
+by default, Iceberg tables (``writeTo(...).overwritePartitions()``) when
+an ``iceberg-spark-runtime`` jar is on the classpath -- the partition spec
+and the idempotent-rerun contract carry over unchanged, pinned by
+tests/test_storage_backend.py.
 
 Incremental maintenance: each run processes, per key-salt partition, only
 entries whose domain reaches past that partition's checkpointed watermark
@@ -38,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.series_ops import reaggregate_rollup, rollup_time_weighted_parts
 from .stateio import StateIO
+from .storage import ParquetBackend, StorageBackend
 
 __all__ = ["TierPipeline", "TIER_STEPS"]
 
@@ -54,8 +57,15 @@ class TierPipeline:
         steps: dict[str, int] | None = None,
         n_salt: int = 16,
         io: StateIO | None = None,
+        backend: StorageBackend | None = None,
     ):
         self.base_dir = base_dir
+        # physical table format seam (plans/storage.py): parquet by default,
+        # IcebergBackend when the runtime jar is present -- the pipeline
+        # only ever calls ref/read/overwrite_partitions/append, so the
+        # checkpoint + lineage behavior is backend-independent (pinned by
+        # tests/test_storage_backend.py)
+        self.backend = backend or ParquetBackend()
         # checkpoint/pointer state goes through the Hadoop FS router so a
         # DFS base dir (hdfs://, s3a://, shared file://) works cluster-wide
         self.io = io or StateIO()
@@ -70,7 +80,7 @@ class TierPipeline:
 
     # -- paths -------------------------------------------------------------
     def tier_path(self, name: str) -> str:
-        return os.path.join(self.base_dir, f"tier_{name}")
+        return self.backend.ref(self.base_dir, f"tier_{name}")
 
     @property
     def checkpoint_path(self) -> str:
@@ -82,8 +92,8 @@ class TierPipeline:
 
     # -- checkpoint --------------------------------------------------------
     def read_checkpoint(self) -> dict:
-        if self.io.exists(self.checkpoint_path):
-            ckpt = self.io.read_json(self.checkpoint_path)
+        ckpt = self.io.read_json_state(self.checkpoint_path)
+        if ckpt is not None:
             # migrate pre-per-partition checkpoints (single global watermark)
             if "watermarks" not in ckpt:
                 wm = ckpt.pop("watermark_ms", None)
@@ -229,8 +239,8 @@ class TierPipeline:
                         # finer tier's increment, so read the STORED finer
                         # tier back for the full rewrite window -- coarser
                         # tiers never touch raw data, only the previous tier
-                        prev = spark.read.parquet(
-                            self.tier_path(names[i - 1])
+                        prev = self.backend.read(
+                            spark, self.tier_path(names[i - 1])
                         ).drop("p_day", "p_salt")
                         src = prev.filter(
                             self._per_salt_bucket_filter(lows[name])
@@ -295,11 +305,10 @@ class TierPipeline:
             max(len(parts), 1),
             df.sparkSession.sparkContext.defaultParallelism * 2,
         )
-        (
-            out.repartition(n_write, "p_day", "p_salt")
-            .write.mode("overwrite")
-            .partitionBy("p_day", "p_salt")
-            .parquet(path)
+        self.backend.overwrite_partitions(
+            out.repartition(n_write, "p_day", "p_salt"),
+            path,
+            ["p_day", "p_salt"],
         )
         lineage["tiers"][name] = {
             "points": n,
@@ -330,11 +339,16 @@ class TierPipeline:
             for name, t in lineage["tiers"].items()
             for p in t["partitions"]
         ]
-        spark.createDataFrame(
-            rec,
-            "run_id string, tier string, p_day long, p_salt int, rows long, "
-            "bytes_approx long, rows_in long, started long",
-        ).write.mode("append").parquet(self.metrics_path)
+        self.backend.append(
+            spark.createDataFrame(
+                rec,
+                "run_id string, tier string, p_day long, p_salt int, rows long, "
+                "bytes_approx long, rows_in long, started long",
+            ),
+            self.backend.ref(self.base_dir, "_metrics"),
+        )
 
     def read_tier(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.tier_path(name)).drop("p_day", "p_salt")
+        return self.backend.read(spark, self.tier_path(name)).drop(
+            "p_day", "p_salt"
+        )

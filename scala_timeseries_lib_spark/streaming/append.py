@@ -59,12 +59,14 @@ class AppendStream:
         return os.path.join(self.base_dir, f"state_e{epoch}")
 
     def _read_pointer(self) -> int:
-        if self.io.exists(self._pointer):
-            return self.io.read_json(self._pointer)["epoch"]
-        return -1
+        # read_json_state recovers a crashed commit's surviving tmp file
+        state = self.io.read_json_state(self._pointer)
+        return state["epoch"] if state is not None else -1
 
     def _commit_pointer(self, epoch: int) -> None:
-        # atomic commit (tmp + rename), DFS-capable via the StateIO router
+        # tmp + rename commit, DFS-capable via the StateIO router; the
+        # Hadoop branch's delete+rename window is closed on read
+        # (StateIO.read_json_state)
         self.io.write_json_atomic(self._pointer, {"epoch": epoch})
 
     def pending(self, spark: SparkSession) -> DataFrame | None:

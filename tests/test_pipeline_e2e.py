@@ -212,3 +212,55 @@ class TestDfsSchemePaths:
         rec = tp2.update(ents.filter(F.lit(False)))
         assert rec["rows_in"] == 0
         assert len(tp2.read_checkpoint()["runs"]) == 2
+
+
+class TestStateIOCrashRecovery:
+    """A driver crash between the Hadoop delete and rename leaves only
+    <path>.tmp; read_json_state must promote a complete tmp and ignore a
+    torn one (plans/stateio.py module docstring)."""
+
+    def test_complete_tmp_promoted(self, tmp_path):
+        from scala_timeseries_lib_spark.plans.stateio import StateIO
+
+        io = StateIO()
+        target = str(tmp_path / "ckpt.json")
+        with open(target + ".tmp", "w") as fh:
+            fh.write('{"watermarks": {"0": 42}, "runs": []}')
+        state = io.read_json_state(target)
+        assert state == {"watermarks": {"0": 42}, "runs": []}
+        # promoted: a plain read now works and the state survives
+        assert io.read_json(target)["watermarks"]["0"] == 42
+
+    def test_torn_tmp_ignored(self, tmp_path):
+        from scala_timeseries_lib_spark.plans.stateio import StateIO
+
+        io = StateIO()
+        target = str(tmp_path / "ckpt.json")
+        with open(target + ".tmp", "w") as fh:
+            fh.write('{"watermarks": {"0":')  # torn mid-write
+        assert io.read_json_state(target) is None
+
+    def test_committed_state_wins_over_tmp(self, tmp_path):
+        from scala_timeseries_lib_spark.plans.stateio import StateIO
+
+        io = StateIO()
+        target = str(tmp_path / "ckpt.json")
+        with open(target, "w") as fh:
+            fh.write('{"epoch": 7}')
+        with open(target + ".tmp", "w") as fh:
+            fh.write('{"epoch": 6}')
+        assert io.read_json_state(target) == {"epoch": 7}
+
+    def test_pipeline_recovers_crashed_checkpoint_commit(self, spark, tmp_path):
+        base = str(tmp_path / "tiers_crash")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ents = derive_entries(ev, KEYS, ts_col="ts", value_col="value")
+        tp = TierPipeline(base, KEYS)
+        tp.update(ents)
+        ckpt = tp.read_checkpoint()
+        # simulate the crash window: checkpoint deleted, tmp left behind
+        os.rename(tp.checkpoint_path, tp.checkpoint_path + ".tmp")
+        tp2 = TierPipeline(base, KEYS)
+        recovered = tp2.read_checkpoint()
+        assert recovered["watermarks"] == ckpt["watermarks"]
+        assert len(recovered["runs"]) == len(ckpt["runs"])

@@ -599,6 +599,26 @@ class TestHistogramSketch:
                     chosen = i
             assert med[(k, bucket)] == pytest.approx(lo + (chosen + 0.5) * width)
 
+    def test_reaggregation_respects_nonzero_origin(self, spark, series3):
+        """Tiers anchored at origin != 0 must coarsen to origin-aligned
+        buckets, mirroring reaggregate_rollup's anchoring."""
+        _, _, df = series3
+        bins, lo, hi, step, origin = 8, 0.0, 5.0, 60_000, 17_000
+        fine = ops.rollup_histogram(
+            df, ["key"], step, bins=bins, lo=lo, hi=hi, origin=origin
+        )
+        direct = ops.rollup_histogram(
+            df, ["key"], 5 * step, bins=bins, lo=lo, hi=hi, origin=origin
+        )
+        re = ops.reaggregate_histogram(
+            fine, ["key"], 5 * step, bins=bins, origin=origin
+        )
+        a = {(r["key"], r["bucket"]): (list(r["hist"]), r["support_ms"])
+             for r in direct.collect()}
+        b = {(r["key"], r["bucket"]): (list(r["hist"]), r["support_ms"])
+             for r in re.collect()}
+        assert a == b
+
 
 def test_asof_join_rejects_output_collision(spark):
     from scala_timeseries_lib_spark.operators.series_ops import asof_join

@@ -151,6 +151,67 @@ class TestStreamRollup:
         assert spark.read.parquet(out).count() == len(got)
 
 
+    def test_late_within_watermark_reopens_bucket(self, spark, tmp_path):
+        """The late-data contract (VERDICT r2 #8): a row that is LATE in
+        arrival order but still >= the current watermark re-opens (extends)
+        its bucket's state, and the bucket emits ONCE with the late row
+        folded in -- equal to the batch rollup over everything kept. Rows
+        strictly below the watermark are dropped by the engine; the
+        reference's TimestampValidator (TimestampValidator.scala:89-94)
+        instead REJECTS out-of-order appends outright -- the streaming tier
+        trades that hard reject for watermark-bounded completeness, which
+        is the documented divergence."""
+        from scala_timeseries_lib_spark.operators.series_ops import (
+            rollup_time_weighted,
+        )
+
+        src, ckpt, out = (str(tmp_path / d) for d in ("src2", "ckpt2", "out2"))
+        os.makedirs(src, exist_ok=True)
+        step, wm = 1000, 2000  # generous watermark: late rows stay in-scope
+
+        b1 = [
+            ("k1", 1000, 1.0, 500),
+            ("k1", 3000, 3.0, 500),   # watermark after b1: 3000-2000=1000
+        ]
+        b2 = [
+            # late arrival into the [1000,2000) bucket, but event time 1500
+            # >= watermark 1000 -> must be folded into the open state
+            ("k1", 1500, 5.0, 250),
+            ("k1", 5000, 7.0, 100),   # advances watermark to 3000
+        ]
+        b3 = [
+            ("k1", 7000, 9.0, 100),   # advances watermark to 5000: closes more
+        ]
+        for batch in (b1, b2, b3):
+            spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            self._run(spark, src, ckpt, out, step, wm)
+
+        got = {
+            r["bucket"]: (round(r["twmean"], 6), r["vmin"], r["vmax"],
+                          r["support_ms"], r["n_pieces"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # nothing was below the watermark at its arrival time: every row kept
+        batch_all = rollup_time_weighted(
+            spark.createDataFrame(b1 + b2 + b3, SCHEMA), ["key"], step,
+            disjoint=False,
+        )
+        want = {
+            r["bucket"]: (round(r["twmean"], 6), r["vmin"], r["vmax"],
+                          r["support_ms"], r["n_pieces"])
+            for r in batch_all.collect()
+            if r["bucket"] in got
+        }
+        assert got == want
+        # the late row IS in the emitted [1000,2000) bucket (n_pieces == 2)
+        assert got[1000][4] == 2
+        assert got[1000][2] == 5.0  # vmax from the late row
+        # closed-once contract holds even with the re-opened bucket
+        assert spark.read.parquet(out).count() == len(got)
+
+
 class TestStreamExactDedup:
     def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
         from scala_timeseries_lib_spark.streaming.structured import (

@@ -115,9 +115,14 @@ def test_threshold_filter_applies_to_pruned_sizes(spark):
 
 def test_minhash_bucket_cap_bounds_pairs(spark):
     """A degenerate LSH bucket (many identical docs -> identical band
-    signatures) must not explode the bucket self-join; the cap drops it
-    while genuine near-dup pairs survive."""
-    from scala_timeseries_lib_spark.functions.dedup import minhash_lsh_pairs
+    signatures) must not explode the bucket self-join: above the cap it
+    emits LINEAR star pairs (member vs bucket minimum), so its members
+    still form one connected component while genuine near-dup pairs
+    survive untouched."""
+    from scala_timeseries_lib_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
 
     tail = " ".join(f"tok{j}" for j in range(40))
     rows = [(i, "identical boilerplate page " + "x " * 20) for i in range(30)]
@@ -130,7 +135,17 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     capped = {(r.doc_a, r.doc_b)
               for r in minhash_lsh_pairs(docs, max_bucket_size=5).collect()}
     assert (100, 101) in capped
-    assert all(a >= 100 for a, _ in capped)  # boilerplate pairs all dropped
+    # hot bucket: exactly the 29 star pairs (hub = min doc id 0), not m^2/2
+    boiler = {(a, b) for a, b in capped if a < 100}
+    assert boiler == {(0, i) for i in range(1, 30)}
+
+    # and the star pairs keep the hot bucket one deduplicable component
+    cl = neardup_clusters(
+        docs, minhash_lsh_pairs(docs, max_bucket_size=5)
+    ).collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in cl}
+    assert all(canon[i] == 0 for i in range(30))
+    assert canon[100] == canon[101] == 100
 
 
 def test_neardup_clusters_connected_components(spark):
