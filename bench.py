@@ -4,9 +4,12 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Extra fields beyond the driver contract:
 - ``rollup_points_per_sec``: emitted rollup points across the 1m/1h/1d tier
   pipeline divided by its wall time (the BASELINE.json target metric).
-- with ``SPARK_GRAFT_SCALING=1``: the same tier job at local[8] and
-  local[32] plus scaling efficiency (t8/t32)/4 (the sandbox proxy for N vs
-  4N executors; see BENCH/BASELINE.md).
+- ``rollup_points_per_sec_x48``: the same chain at 48x key-space
+  amplification (~300M points) where per-core work dominates job setup --
+  the overhead-amortized engine throughput.
+- with ``SPARK_GRAFT_SCALING=1``: the amplified tier job on 2 vs 8
+  executor JVMs (local-cluster, 4 cores each = the mandated 8/32 cores)
+  plus scaling efficiency (t_N/t_4N)/4; full matrix in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -70,6 +73,47 @@ def tier_pipeline_points(spark, sf_dir: str):
     return n_1m + n_1h + n_1d
 
 
+def amplified_tier_pps(spark, sf_dir: str, replicate: int = 48):
+    """Tier-chain throughput at 48x key-space amplification (~300M rolled
+    points at sf0.1) -- the scale where per-core work dominates fixed
+    overhead, same methodology as tools/scaling_bench.py (light chain: 1m
+    forced without a cache, 1h from recomputed key-partitioned branches).
+    One timed pass (the headline queries already warmed the JIT)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from scala_timeseries_lib_spark.operators import series_ops as ops
+    from scala_timeseries_lib_spark.operators.entries import derive_entries
+
+    events = entry_mod._events(spark, sf_dir)
+    rep = spark.range(replicate).select(F.col("id").alias("rep"))
+    events = events.crossJoin(rep).withColumn(
+        "user_id", F.col("user_id") + F.col("rep") * 1_000_000
+    ).drop("rep")
+    entries = derive_entries(
+        events, entry_mod.KEYS, ts_col="ts", value_col="value"
+    ).persist()
+    entries.count()
+    par = spark.sparkContext.defaultParallelism * 2
+    t0 = time.time()
+    df = entries.repartition(par, *entry_mod.KEYS)
+    full, partial = ops.rollup_time_weighted_parts(df, entry_mod.KEYS, 60_000)
+    points = force(full.unionByName(partial))
+    h_parts = ops.reaggregate_rollup(full, entry_mod.KEYS, entry_mod.HOUR).unionByName(
+        ops.reaggregate_rollup(partial, entry_mod.KEYS, entry_mod.HOUR)
+    )
+    tier_1h = ops.reaggregate_rollup(h_parts, entry_mod.KEYS, entry_mod.HOUR)
+    tier_1h.persist()
+    points += force(tier_1h)
+    points += force(
+        ops.reaggregate_rollup(tier_1h, entry_mod.KEYS, entry_mod.DAY)
+    )
+    elapsed = time.time() - t0
+    tier_1h.unpersist()
+    entries.unpersist()
+    return points, elapsed
+
+
 def run_bench(master: str, sf_dir: str):
     from scala_timeseries_lib_spark.plans.session import get_spark
 
@@ -127,12 +171,19 @@ def run_bench(master: str, sf_dir: str):
             best_of(lambda: force(qs[name](spark, sf_dir))), 3
         )
 
+    # amplified-tier throughput (not part of the headline total): ~300M
+    # rolled points, overhead-amortized -- the BASELINE.json target metric
+    # at a scale where it measures the engine, not job setup
+    amp_points, amp_sec = amplified_tier_pps(spark, sf_dir)
+
     spark.stop()
-    return points, tier_sec, timings
+    return points, tier_sec, timings, (amp_points, amp_sec)
 
 
 def main() -> None:
-    points, tier_sec, timings = run_bench(f"local[{CPUS}]", SF_DIR)
+    points, tier_sec, timings, (amp_points, amp_sec) = run_bench(
+        f"local[{CPUS}]", SF_DIR
+    )
     result = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -141,20 +192,25 @@ def main() -> None:
         "sf": _sf(SF_DIR),
         "rollup_points": points,
         "rollup_points_per_sec": round(points / tier_sec, 1),
+        "rollup_points_x48": amp_points,
+        "rollup_points_per_sec_x48": round(amp_points / amp_sec, 1),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # N vs 4N EXECUTORS (multi-JVM local-cluster, the north rule's
+        # literal shape at the mandated 8/32 core counts); see
+        # BENCH/BASELINE.md for the full matrix + the hardware-ceiling probe
         scaling = {}
-        for n in (8, 32):
+        for master in ("local-cluster[2,4,6144]", "local-cluster[8,4,6144]"):
             t0 = time.time()
-            pts, _sec, _t = run_bench(f"local[{n}]", SF_DIR)
-            scaling[f"local[{n}]"] = {
-                "sec": round(time.time() - t0, 3),
-                "points_per_sec": round(pts / (time.time() - t0), 1),
+            _p, _sec, _t, (amp_p, amp_s) = run_bench(master, SF_DIR)
+            scaling[master] = {
+                "tier_x48_sec": round(amp_s, 3),
+                "points_per_sec": round(amp_p / amp_s, 1),
             }
-        t8 = scaling["local[8]"]["sec"]
-        t32 = scaling["local[32]"]["sec"]
-        scaling["efficiency_n_to_4n"] = round((t8 / t32) / 4.0, 3)
+        t_n = scaling["local-cluster[2,4,6144]"]["tier_x48_sec"]
+        t_4n = scaling["local-cluster[8,4,6144]"]["tier_x48_sec"]
+        scaling["efficiency_n_to_4n"] = round((t_n / t_4n) / 4.0, 3)
         result["scaling"] = scaling
 
     print(json.dumps(result))
