@@ -687,6 +687,21 @@ def _q_dedup_clusters(spark, sf_dir):
     return neardup_clusters(docs, pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same components via the large-star/small-star contraction (Kiveris
+    et al. SoCC 2014): O(log n) rounds regardless of component diameter --
+    the escalation path for adversarially chainy candidate graphs. Same
+    recursive-CTE oracle as dedup_clusters (identical output)."""
+    from scala_timeseries_lib_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=MINHASH_MAX_BUCKET)
+    return neardup_clusters(docs, pairs, algorithm="star")
+
+
 def _q_simhash(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.dedup import simhash
 
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_minhash_sig,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "text_bpe_tokens": _q_bpe_tokens,
@@ -1803,7 +1819,7 @@ mpairs AS (
         AND a.doc_id < b.doc_id
 )
 """
-    return {
+    oracles = {
         "dedup_exact": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_dups
@@ -2092,3 +2108,6 @@ WHERE {h32.format(x='CAST(doc_id AS VARCHAR)')} % 10000 < 1000
         )
         + " FROM documents",
     }
+    # identical output by construction (same components, same oracle)
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    return oracles

@@ -225,22 +225,35 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc gets
     ``canonical_id`` = the minimum doc id reachable through the pair graph
     (its own id when unpaired). This is the keep-one-per-cluster step a
     dedup pipeline runs after LSH/Jaccard candidate generation.
 
-    Implementation: distributed min-label propagation (Pregel-style).
-    Each round is one equi-join of labels onto edges + a min-aggregate;
-    rounds repeat until no label changes. Near-dup components come from
-    shared LSH buckets, so they are dense and flat -- diameter (and thus
-    round count) is small; each round shuffles |E| + |V| rows on int keys
-    and lineage is truncated per round (localCheckpoint), the standard
-    iterative-CC shape. For adversarially chainy graphs the two-phase
-    large-star/small-star variant halves round count; not needed for the
-    bucket-generated graphs here.
+    ``algorithm="label_prop"`` (default): distributed min-label propagation
+    (Pregel-style). Each round is one equi-join of labels onto edges + a
+    min-aggregate; rounds repeat until no label changes. Near-dup
+    components come from shared LSH buckets, so they are dense and flat --
+    diameter (and thus round count) is small; each round shuffles |E| + |V|
+    rows on int keys and lineage is truncated per round (localCheckpoint),
+    the standard iterative-CC shape.
+
+    ``algorithm="star"``: the two-phase large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014): alternating rounds rewire every node's strictly-larger
+    (large-star) / smaller-or-equal (small-star) neighbors to its
+    neighborhood minimum, converging in O(log n) rounds regardless of
+    component DIAMETER -- the escalation path when candidate graphs are
+    adversarially chainy (e.g. pairwise near-dup chains from sliding
+    shingle windows) where one-hop label propagation would need
+    diameter-many rounds. Identical output (pinned by test).
     """
+    if algorithm == "star":
+        return _neardup_clusters_star(docs, pairs, id_col, max_iterations)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("t")
     ).unionByName(
@@ -281,6 +294,98 @@ def neardup_clusters(
         )
     return labels.select(
         F.col("s").alias(id_col), F.col("label").alias("canonical_id")
+    )
+
+
+def _neardup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (see neardup_clusters docstring).
+
+    Invariant per round: the edge set stays within one connected component
+    and always contains, for every non-minimal node, a path to its
+    component minimum; at the fixed point the edges form stars centered on
+    component minima. Each half-round is one groupBy(min) + join + distinct
+    over |E| int pairs, lineage-truncated (localCheckpoint).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    edges = edges.localCheckpoint(eager=True)
+
+    def _sym(e):
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _neigh_min(e):
+        # m(u) = min over Gamma(u) and u itself
+        return _sym(e).groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _large_star(e):
+        # for v in Gamma(u) with v > u: edge (v, m(u))
+        m = _neigh_min(e)
+        return (
+            _sym(e)
+            .join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e):
+        # for v in Gamma(u) with v <= u, plus u itself: edge (v, m(u))
+        m = _neigh_min(e)
+        halves = _sym(e).filter(F.col("v") <= F.col("u"))
+        rewired = halves.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            rewired.unionByName(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _fingerprint(e):
+        # bit_xor: order-independent and overflow-free (ANSI mode forbids
+        # a plain SUM of 64-bit hashes)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"neardup_clusters(star) did not converge in {max_iterations} rounds"
+        )
+    # fixed point: star edges (node -> component minimum)
+    stars = _sym(edges).groupBy("u").agg(F.min("v").alias("m")).filter(
+        F.col("m") < F.col("u")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(stars.select(F.col("u").alias(id_col), "m"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("m"), F.col(id_col)).alias("canonical_id"),
+        )
     )
 
 

@@ -223,3 +223,30 @@ def test_deterministic_sample_nests_and_shards_are_stable(spark):
     assert all(full[k] == v for k, v in small.items())
     with pytest.raises(ValueError):
         deterministic_sample(docs, 20_000)
+
+
+def test_star_cc_matches_label_prop_and_converges_logarithmically(spark):
+    """large-star/small-star must produce identical components to label
+    propagation, and converge on a 200-node CHAIN within ~log2(n) rounds
+    (label propagation needs diameter-many rounds there)."""
+    from scala_timeseries_lib_spark.functions.dedup import neardup_clusters
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    docs = docs.withColumn("text", (F.col("doc_id") * 0).cast("string"))
+    # one long chain 0-1-2-...-149, a pair, singletons
+    chain = [(i, i + 1) for i in range(149)]
+    extra = [(160, 170)]
+    pairs = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+
+    # star converges in O(log n) rounds: 12 rounds is ample for n=200,
+    # while label_prop would need ~149 (its default cap of 50 would fail)
+    star = neardup_clusters(docs, pairs, algorithm="star", max_iterations=12)
+    got = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+    for i in range(150):
+        assert got[i] == 0
+    assert got[160] == got[170] == 160
+    assert got[199] == 199
+
+    prop = neardup_clusters(docs, pairs, max_iterations=200)
+    assert got == {r["doc_id"]: r["canonical_id"] for r in prop.collect()}

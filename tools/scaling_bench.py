@@ -86,19 +86,38 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism * 2
 
     def run():
+        # the 1m-tier force and the 1h/1d chain are INDEPENDENT jobs (the
+        # chain recomputes the cheap branches rather than reading a cache),
+        # exactly like a real pipeline submitting per-tier writes
+        # concurrently -- overlapping them hides per-job fixed overhead
+        # (measured -26% wall at 32 cores, -5% at 8)
+        import threading  # noqa: PLC0415
+
         df = entries.repartition(par, *keys)
         full, partial = ops.rollup_time_weighted_parts(df, keys, 60_000)
-        p1 = force(full.unionByName(partial))
-        h_parts = ops.reaggregate_rollup(full, keys, 3_600_000).unionByName(
-            ops.reaggregate_rollup(partial, keys, 3_600_000)
-        )
-        tier_1h = ops.reaggregate_rollup(h_parts, keys, 3_600_000)
-        tier_1h.persist()
-        p2 = force(tier_1h)
-        tier_1d = ops.reaggregate_rollup(tier_1h, keys, 86_400_000)
-        p3 = force(tier_1d)
-        tier_1h.unpersist()
-        return p1 + p2 + p3
+        res = {}
+
+        def j_finest():
+            res["p1"] = force(full.unionByName(partial))
+
+        def j_chain():
+            h_parts = ops.reaggregate_rollup(full, keys, 3_600_000).unionByName(
+                ops.reaggregate_rollup(partial, keys, 3_600_000)
+            )
+            tier_1h = ops.reaggregate_rollup(h_parts, keys, 3_600_000)
+            tier_1h.persist()
+            res["p2"] = force(tier_1h)
+            res["p3"] = force(
+                ops.reaggregate_rollup(tier_1h, keys, 86_400_000)
+            )
+            tier_1h.unpersist()
+
+        jobs = [threading.Thread(target=j_finest), threading.Thread(target=j_chain)]
+        for t in jobs:
+            t.start()
+        for t in jobs:
+            t.join()
+        return res["p1"] + res["p2"] + res["p3"]
 
     run()  # untimed warmup: JIT-compiles the codegen'd explode+agg pipeline
 
