@@ -120,7 +120,11 @@ def _q_rollup_1h(spark, sf_dir):
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
     return ops.rollup_time_weighted(
-        _entries(spark, sf_dir), KEYS, HOUR, round_to=5
+        _entries(spark, sf_dir), KEYS, HOUR, round_to=5,
+        # sf0.1-scale inputs sit below the split rollup's crossover
+        # (~10^7 pieces): the single-aggregate plan has fewer stages and
+        # wins when the job is scheduling-bound (see rollup_time_weighted)
+        disjoint=False,
     ).drop("n_pieces")
 
 
@@ -129,7 +133,9 @@ def _q_rollup_1d_from_1h(spark, sf_dir):
 
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
-    tier_1h = ops.rollup_time_weighted(_entries(spark, sf_dir), KEYS, HOUR)
+    tier_1h = ops.rollup_time_weighted(
+        _entries(spark, sf_dir), KEYS, HOUR, disjoint=False
+    )
     day = ops.reaggregate_rollup(tier_1h, KEYS, DAY).drop("n_pieces")
     return day.withColumn("twmean", F.round("twmean", 5)).withColumn(
         "integral_s", F.round("integral_s", 5)

@@ -60,7 +60,12 @@ def tier_pipeline_points(spark, sf_dir: str):
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
     entries = entry_mod._entries(spark, sf_dir)
-    tier_1m = ops.rollup_time_weighted(entries, entry_mod.KEYS, 60_000)
+    # sf0.1 sits below the split rollup's crossover (~10^7 pieces): the
+    # single-aggregate plan has fewer stages and wins while the job is
+    # scheduling-bound; the x48 amplified probe below exercises the split
+    tier_1m = ops.rollup_time_weighted(
+        entries, entry_mod.KEYS, 60_000, disjoint=False
+    )
     tier_1m.cache()
     n_1m = force(tier_1m)
     tier_1h = ops.reaggregate_rollup(tier_1m, entry_mod.KEYS, entry_mod.HOUR)

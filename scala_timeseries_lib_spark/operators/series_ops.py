@@ -326,6 +326,14 @@ def rollup_time_weighted(
     contributions (the split path would emit duplicate (key, bucket) rows on
     such input).
 
+    Crossover (measured, BENCH/BASELINE.md): the split's win is the
+    eliminated ~n_pieces-entry hash table, its cost is ~2 extra stages.
+    Below ~10^7 pieces the job is scheduling-bound and the single-aggregate
+    ``disjoint=False`` plan is faster (0.7 s vs 1.9 s at sf0.1/1h); above,
+    the split wins up to 7x (0.9 s vs 6.7 s at 76M pieces, 32 cores).
+    Callers that know they are small may pass ``disjoint=False`` purely as
+    a physical hint -- results are identical on well-formed input.
+
     Physical shape (both paths): the compact input is repartitioned on the
     series key to full parallelism BEFORE the explode -- AQE happily
     coalesces the small pre-explode data into a handful of partitions, which

@@ -152,3 +152,23 @@ def test_skew_safe_matches_default(spark, rows):
     assert j.filter(
         F.col(f"n.{cols[0]}").isNull() | F.col(f"o.{cols[0]}").isNull()
     ).count() == 0
+
+
+def test_split_matches_legacy_randomized(spark):
+    """Property sweep: random disjoint series (random gaps/validities around
+    several step multiples, positive and negative timestamps, multiple
+    origins) must stay bit-identical between the split and legacy paths."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for k in range(12):
+        t = rng.randint(-5_000, 5_000)
+        for _ in range(rng.randint(1, 40)):
+            validity = rng.choice(
+                [1, 7, STEP - 1, STEP, STEP + 1, 3 * STEP, 10 * STEP + 13]
+            )
+            rows.append((f"s{k}", t, round(rng.uniform(-100, 100), 6), validity))
+            t += validity + rng.choice([0, 0, 0, 1, 13, STEP, 5 * STEP])
+    for origin in (0, 37):
+        _assert_same(spark, rows, origin=origin)
