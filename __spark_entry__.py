@@ -1917,8 +1917,9 @@ parts AS (
     FROM toks
 )
 SELECT doc_id,
-       ROUND(LEAST(n / 100.0, 1.0) * 0.5 + LEAST(stop_ratio * 5.0, 1.0) * 0.3
-             + LEAST(avg_len / 8.0, 1.0) * 0.2, 5) AS quality
+       FLOOR((LEAST(n / 100.0, 1.0) * 0.5 + LEAST(stop_ratio * 5.0, 1.0) * 0.3
+             + LEAST(avg_len / 8.0, 1.0) * 0.2) * 100000 + 0.5 + 0.000001)
+           / 100000 AS quality
 FROM parts
 """,
         "text_lang_id": "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
@@ -1952,9 +1953,10 @@ parts AS (
 ),
 gated AS (
     SELECT doc_id, {lang_case} AS pred_lang, n_tokens,
-           ROUND(LEAST(n / 100.0, 1.0) * 0.5
+           FLOOR((LEAST(n / 100.0, 1.0) * 0.5
                  + LEAST(stop_ratio * 5.0, 1.0) * 0.3
-                 + LEAST(avg_len / 8.0, 1.0) * 0.2, 5) AS quality
+                 + LEAST(avg_len / 8.0, 1.0) * 0.2) * 100000 + 0.5 + 0.000001)
+               / 100000 AS quality
     FROM parts
 ),
 canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
