@@ -31,6 +31,16 @@ SLICE_HI = 1_705_708_800_000  # 2024-01-20 00:00:00 UTC
 KEYS = ["user_id", "event_type"]
 
 
+def _eps5(col, digits: int = 5):
+    """Engine-agnostic rounding for oracle-hashed floats (ROUND is half-up
+    in Spark, half-even in DuckDB; see functions/rounding.py). Every oracle
+    SQL uses the identical FLOOR expression."""
+    from pyspark.sql import functions as F
+
+    m = 10 ** digits
+    return F.floor(col * m + 0.5 + 1e-6) / m
+
+
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from scala_timeseries_lib_spark.plans.packaging import ship_package
@@ -113,7 +123,7 @@ def _q_step_integral(spark, sf_dir):
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
     df = ops.step_integral(_entries(spark, sf_dir), KEYS, "ms")
-    return df.withColumn("value", F.round("value", 5))
+    return df.withColumn("value", _eps5(F.col("value")))
 
 
 def _q_rollup_1h(spark, sf_dir):
@@ -137,8 +147,8 @@ def _q_rollup_1d_from_1h(spark, sf_dir):
         _entries(spark, sf_dir), KEYS, HOUR, disjoint=False
     )
     day = ops.reaggregate_rollup(tier_1h, KEYS, DAY).drop("n_pieces")
-    return day.withColumn("twmean", F.round("twmean", 5)).withColumn(
-        "integral_s", F.round("integral_s", 5)
+    return day.withColumn("twmean", _eps5(F.col("twmean"))).withColumn(
+        "integral_s", _eps5(F.col("integral_s"))
     )
 
 
@@ -195,7 +205,7 @@ def _q_sliding_integral_1h(spark, sf_dir):
 
     grid = _sampled_filled(spark, sf_dir)
     out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="integral", timeunit="ms")
-    return out.withColumn("value", F.round("value", 5))
+    return out.withColumn("value", _eps5(F.col("value")))
 
 
 def _q_sliding_mean_1h(spark, sf_dir):
@@ -205,7 +215,7 @@ def _q_sliding_mean_1h(spark, sf_dir):
 
     grid = _sampled_filled(spark, sf_dir)
     out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="mean", timeunit="ms")
-    return out.withColumn("value", F.round("value", 5))
+    return out.withColumn("value", _eps5(F.col("value")))
 
 
 def _q_rollup_hist_median(spark, sf_dir):
@@ -383,7 +393,7 @@ def _q_dynamic_window(spark, sf_dir):
         stop_expr=F.col("value") < DYN_STOP,
         agg="mean",
     )
-    return out.withColumn("value", F.round("value", 5))
+    return out.withColumn("value", _eps5(F.col("value")))
 
 
 def _q_sample_closest(spark, sf_dir):
@@ -573,7 +583,7 @@ def _q_sliding_std_1h(spark, sf_dir):
 
     grid = _sampled_filled(spark, sf_dir)
     out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="std")
-    return out.withColumn("value", F.round("value", 5))
+    return out.withColumn("value", _eps5(F.col("value")))
 
 
 def _q_strict_zip(spark, sf_dir):
@@ -615,7 +625,7 @@ def _q_sliding_median_1h(spark, sf_dir):
 
     grid = _sampled_filled(spark, sf_dir)
     out = sliding_grid_agg(grid, KEYS, HOUR, RATE_10M, agg="median")
-    return out.withColumn("value", F.round("value", 5))
+    return out.withColumn("value", _eps5(F.col("value")))
 
 
 MAP_FILTER_THRESHOLD = 50.0
@@ -628,7 +638,7 @@ def _q_map_filter(spark, sf_dir):
 
     entries = _entries(spark, sf_dir)
     return entries.filter(F.col("value") >= MAP_FILTER_THRESHOLD).withColumn(
-        "value", F.round(F.col("value") * 1.5 + 1.0, 5)
+        "value", _eps5(F.col("value") * 1.5 + 1.0)
     )
 
 
@@ -1240,9 +1250,9 @@ pieces AS (
         rollup_pieces
         + f"""
 SELECT user_id, event_type, bucket,
-       ROUND(SUM(value * dur) / SUM(dur), 5) AS twmean,
+       FLOOR((SUM(value * dur) / SUM(dur)) * 100000 + 0.5 + 0.000001) / 100000 AS twmean,
        MIN(value) AS vmin, MAX(value) AS vmax,
-       ROUND(SUM(value * dur) / 1000.0, 5) AS integral_s,
+       FLOOR((SUM(value * dur) / 1000.0) * 100000 + 0.5 + 0.000001) / 100000 AS integral_s,
        CAST(SUM(dur) AS BIGINT) AS support_ms
 FROM pieces GROUP BY user_id, event_type, bucket
 """
@@ -1251,9 +1261,9 @@ FROM pieces GROUP BY user_id, event_type, bucket
         rollup_pieces
         + f"""
 SELECT user_id, event_type, bucket - (bucket % {DAY}) AS bucket,
-       ROUND(SUM(value * dur) / SUM(dur), 5) AS twmean,
+       FLOOR((SUM(value * dur) / SUM(dur)) * 100000 + 0.5 + 0.000001) / 100000 AS twmean,
        MIN(value) AS vmin, MAX(value) AS vmax,
-       ROUND(SUM(value * dur) / 1000.0, 5) AS integral_s,
+       FLOOR((SUM(value * dur) / 1000.0) * 100000 + 0.5 + 0.000001) / 100000 AS integral_s,
        CAST(SUM(dur) AS BIGINT) AS support_ms
 FROM pieces GROUP BY user_id, event_type, bucket - (bucket % {DAY})
 """
@@ -1311,9 +1321,9 @@ WHERE ts < {SLICE_HI} AND ts + validity > {SLICE_LO}
         "ts_step_integral": ENTRIES_CTE
         + """
 SELECT user_id, event_type, ts,
-       ROUND(SUM(value * validity / 1000.0) OVER (
+       FLOOR((SUM(value * validity / 1000.0) OVER (
            PARTITION BY user_id, event_type ORDER BY ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS value,
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100000 + 0.5 + 0.000001) / 100000 AS value,
        validity
 FROM entries
 """,
@@ -1470,9 +1480,9 @@ FROM g
         "ts_sliding_integral_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,
-       ROUND(SUM(value * {RATE_10M} / 1000.0) OVER (
+       FLOOR((SUM(value * {RATE_10M} / 1000.0) OVER (
            PARTITION BY user_id, event_type ORDER BY ts
-           RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW), 5)
+           RANGE BETWEEN {HOUR + RATE_10M - 1} PRECEDING AND CURRENT ROW)) * 100000 + 0.5 + 0.000001) / 100000
            AS value,
        CAST({RATE_10M} AS BIGINT) AS validity
 FROM sampled
@@ -1480,7 +1490,7 @@ FROM sampled
         "ts_sliding_mean_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,
-       ROUND(SUM(value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w, 5)
+       FLOOR((SUM(value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w) * 100000 + 0.5 + 0.000001) / 100000
            AS value,
        CAST({RATE_10M} AS BIGINT) AS validity
 FROM sampled
@@ -1506,10 +1516,10 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
         "ts_sliding_std_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,
-       ROUND(SQRT(GREATEST(
+       FLOOR((SQRT(GREATEST(
            SUM(value * value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w
            - POW(SUM(value * {RATE_10M}) OVER w / SUM(CAST({RATE_10M} AS BIGINT)) OVER w, 2),
-           0.0)), 5) AS value,
+           0.0))) * 100000 + 0.5 + 0.000001) / 100000 AS value,
        CAST({RATE_10M} AS BIGINT) AS validity
 FROM sampled
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
@@ -1517,13 +1527,13 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
 """,
         "ts_map_filter": ENTRIES_CTE
         + f"""
-SELECT user_id, event_type, ts, ROUND(value * 1.5 + 1.0, 5) AS value, validity
+SELECT user_id, event_type, ts, FLOOR((value * 1.5 + 1.0) * 100000 + 0.5 + 0.000001) / 100000 AS value, validity
 FROM entries WHERE value >= {MAP_FILTER_THRESHOLD}
 """,
         "ts_sliding_median_1h": ENTRIES_CTE + filled_cte + sample_cte
         + f"""
 SELECT user_id, event_type, ts,
-       ROUND(quantile_cont(value, 0.5) OVER w, 5) AS value,
+       FLOOR((quantile_cont(value, 0.5) OVER w) * 100000 + 0.5 + 0.000001) / 100000 AS value,
        CAST({RATE_10M} AS BIGINT) AS validity
 FROM sampled
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
@@ -1730,7 +1740,7 @@ rows_in AS (
     WHERE s.wstart IS NOT NULL AND w.ts >= s.wstart
 )
 SELECT user_id, event_type, wstart AS ts,
-       ROUND(SUM(value * validity) / SUM(validity), 5) AS value,
+       FLOOR((SUM(value * validity) / SUM(validity)) * 100000 + 0.5 + 0.000001) / 100000 AS value,
        CAST(MAX(ts + validity) - wstart AS BIGINT) AS validity
 FROM rows_in GROUP BY user_id, event_type, wstart
 """,
@@ -1845,11 +1855,11 @@ pairs AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, shared,
-       ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) AS jaccard
+       FLOOR((shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE)) * 100000 + 0.5 + 0.000001) / 100000 AS jaccard
 FROM pairs
 JOIN nshp na ON na.doc_id = doc_a
 JOIN nshp nb ON nb.doc_id = doc_b
-WHERE ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 5) >= 0.8
+WHERE FLOOR((shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE)) * 100000 + 0.5 + 0.000001) / 100000 >= 0.8
 """,
         "dedup_minhash_sig": sig_cte
         + "SELECT doc_id, hash_idx, minhash FROM sig",
@@ -1900,10 +1910,10 @@ WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
-       ROUND((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE), 5)
+       FLOOR(((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE)) * 100000 + 0.5 + 0.000001) / 100000
            AS avg_token_len,
-       ROUND(len(list_filter(w, t -> list_contains([{stop_list}], t)))
-             / CAST(len(w) AS DOUBLE), 5) AS stopword_ratio
+       FLOOR((len(list_filter(w, t -> list_contains([{stop_list}], t)))
+             / CAST(len(w) AS DOUBLE)) * 100000 + 0.5 + 0.000001) / 100000 AS stopword_ratio
 FROM toks
 """,
         "text_quality": f"""
@@ -1970,7 +1980,7 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 8),
 scored AS (
     SELECT q.query_id, b.vec_id AS cand_id,
-           ROUND({cos.format(q='q.q_emb', c='b.emb')}, 4) AS sim
+           FLOOR(({cos.format(q='q.q_emb', c='b.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
     FROM base b, q WHERE b.vec_id != q.query_id
 )
 SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
@@ -2011,7 +2021,7 @@ q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
       FROM wb WHERE vec_id < 8),
 scored AS (
     SELECT q.query_id, c.vec_id AS cand_id,
-           ROUND({cos.format(q='q.q_emb', c='c.emb')}, 4) AS sim
+           FLOOR(({cos.format(q='q.q_emb', c='c.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
     FROM wb c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
 )
 SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
@@ -2027,7 +2037,7 @@ asn AS (
     SELECT vec_id, centroid FROM (
         SELECT b.vec_id, c.centroid,
                row_number() OVER (PARTITION BY b.vec_id
-                   ORDER BY ROUND({cos.format(q='b.emb', c='c.c_emb')}, 6) DESC,
+                   ORDER BY FLOOR(({cos.format(q='b.emb', c='c.c_emb')}) * 1000000 + 0.5 + 0.000001) / 1000000 DESC,
                             c.centroid) AS rnk
         FROM base b, cents c
     ) WHERE rnk = 1
@@ -2037,14 +2047,14 @@ probes AS (
     SELECT query_id, q_emb, centroid FROM (
         SELECT q.query_id, q.q_emb, c.centroid,
                row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ROUND({cos.format(q='q.q_emb', c='c.c_emb')}, 6) DESC,
+                   ORDER BY FLOOR(({cos.format(q='q.q_emb', c='c.c_emb')}) * 1000000 + 0.5 + 0.000001) / 1000000 DESC,
                             c.centroid) AS rnk
         FROM q, cents c
     ) WHERE rnk <= 2
 ),
 scored AS (
     SELECT p.query_id, a.vec_id AS cand_id,
-           ROUND({cos.format(q='p.q_emb', c='b.emb')}, 4) AS sim
+           FLOOR(({cos.format(q='p.q_emb', c='b.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
     FROM asn a
     JOIN base b USING (vec_id)
     JOIN probes p ON a.centroid = p.centroid
@@ -2073,7 +2083,7 @@ bk AS (
 wb AS (SELECT b.vec_id, b.emb, k.bucket FROM base b JOIN bk k USING (vec_id)),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({cos.format(q='a.emb', c='b.emb')}, 4) AS sim
+           FLOOR(({cos.format(q='a.emb', c='b.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
     FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4

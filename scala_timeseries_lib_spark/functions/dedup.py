@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import eps_floor
+
 from .text import hash32
 
 __all__ = [
@@ -129,7 +131,7 @@ def ngram_jaccard_pairs(
               .withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 5),
+            eps_floor(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 5),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "jaccard")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import eps_floor
+
 __all__ = ["cosine_sim", "knn_bruteforce", "lsh_bucket_expr", "lsh_buckets", "ann_lsh_topk",
            "ivf_assign", "ann_ivf_topk", "embedding_neardup_pairs",
            "N_PLANES", "plane_weight_expr"]
@@ -59,7 +61,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
+            eps_floor(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -126,7 +128,7 @@ def ivf_assign(
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid",
-        F.round(cosine_sim(F.col("emb"), F.col("c_emb")), round_to).alias("csim"),
+        eps_floor(cosine_sim(F.col("emb"), F.col("c_emb")), round_to).alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid"))
     return (
@@ -164,7 +166,7 @@ def ann_ivf_topk(
         base.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "emb", "centroid",
-            F.round(cosine_sim(F.col("emb"), F.col("c_emb")), 6).alias("csim"),
+            eps_floor(cosine_sim(F.col("emb"), F.col("c_emb")), 6).alias("csim"),
         )
         .withColumn("rnk", F.row_number().over(wa))
         .filter(F.col("rnk") == 1)
@@ -178,7 +180,7 @@ def ann_ivf_topk(
         "query_id",
         "q_emb",
         "centroid",
-        F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6).alias("csim"),
+        eps_floor(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid"))
     probes = (
@@ -192,7 +194,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
+            eps_floor(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -251,7 +253,7 @@ def embedding_neardup_pairs(
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
+        eps_floor(cosine_sim(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
     )
     return scored.filter(F.col("sim") >= threshold)
 
@@ -281,7 +283,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
+            eps_floor(cosine_sim(F.col("q_emb"), F.col("emb")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))

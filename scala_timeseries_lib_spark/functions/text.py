@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import eps_floor
+
 __all__ = [
     "hash32",
     "token_stats",
@@ -63,10 +65,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
-        F.round(
+        eps_floor(
             (F.length(text_col) - n + 1) / n.cast("double"), 5
         ).alias("avg_token_len"),
-        F.round(n_stop / n.cast("double"), 5).alias("stopword_ratio"),
+        eps_floor(n_stop / n.cast("double"), 5).alias("stopword_ratio"),
     )
 
 

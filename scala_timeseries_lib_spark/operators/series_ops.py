@@ -190,11 +190,17 @@ def step_integral(
 
 
 def _rollup_round(agg: DataFrame, round_to: int | None) -> DataFrame:
+    """``round_to`` exists for cross-engine hash comparison, so it uses
+    the engine-agnostic eps-floor rounding (functions.rounding) rather than
+    ROUND (half-up in Spark, half-even in DuckDB -- same value can round
+    differently at decimal boundaries)."""
     if round_to is None:
         return agg
-    return agg.withColumn("twmean", F.round("twmean", round_to)).withColumn(
-        "integral_s", F.round("integral_s", round_to)
-    )
+    from ..functions.rounding import eps_floor  # noqa: PLC0415
+
+    return agg.withColumn(
+        "twmean", eps_floor(F.col("twmean"), round_to)
+    ).withColumn("integral_s", eps_floor(F.col("integral_s"), round_to))
 
 
 def rollup_time_weighted_parts(
