@@ -90,7 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from scala_timeseries_lib_spark.operators import series_ops as ops
 
     entries = _entries(spark, "/root/testdata/sf0.001")
-    tier_1m = ops.rollup_time_weighted(entries, KEYS, 60_000)
+    # entries come from derive_entries (fitted => disjoint), so the fused
+    # split path's precondition holds; disjoint is opt-in per ADVICE r3
+    tier_1m = ops.rollup_time_weighted(entries, KEYS, 60_000, disjoint=True)
     tier_1h = ops.reaggregate_rollup(tier_1m, KEYS, HOUR)
     return tier_1h.select(
         *KEYS, "bucket", "twmean", "vmin", "vmax", "integral_s", "support_ms"
@@ -679,7 +681,7 @@ def _q_minhash_sig(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir))
 
 
-MINHASH_MAX_BUCKET = 50  # drop degenerate LSH buckets bigger than this
+MINHASH_MAX_BUCKET = 50  # LSH buckets above this emit O(m) star pairs
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -861,6 +863,46 @@ def _q_mm_features(spark, sf_dir):
     )
 
 
+def _q_mm_ppm(spark, sf_dir):
+    """REAL image decode -> nearest-neighbor resize over Arrow batches
+    (functions/multimodal.py parse_ppm/resize_nearest): payloads are
+    deterministic P6 fixtures synthesized from doc_id (synthesize_ppm), so
+    the oracle recomputes every decoded value -- dimensions, raster byte
+    sum, and the 8x6 resample's byte sum -- from doc_id in closed-form SQL
+    without any decoder of its own."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.multimodal import (
+        ppm_decode_stats,
+        synthesize_ppm,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        synthesize_ppm(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(_gen, "doc_id long, payload binary")
+    stats = ppm_decode_stats(payloads, out_w=8, out_h=6)
+    return stats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("maxval").cast("long").alias("maxval"),
+        "pixel_sum",
+        "resized_sum",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_append": _q_append,
@@ -913,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_meta": _q_mm_meta,
         "mm_frame_sample": _q_mm_frames,
         "mm_features": _q_mm_features,
+        "mm_ppm_decode": _q_mm_ppm,
         "corpus_shard_stats": _q_shard_stats,
         "corpus_sample": _q_corpus_sample,
         "ts_entries": _q_entries,
@@ -1821,18 +1864,29 @@ buckets AS (
                ORDER BY hash_idx || ':' || minhash)) AS bucket
     FROM sig GROUP BY doc_id, hash_idx // 2
 ),
+hot AS (
+    SELECT band, bucket, MIN(doc_id) AS hub FROM buckets
+    GROUP BY band, bucket HAVING COUNT(*) > {MINHASH_MAX_BUCKET}
+),
 kept AS (
-    SELECT * FROM buckets
-    WHERE (band, bucket) NOT IN (
-        SELECT (band, bucket) FROM buckets GROUP BY band, bucket
-        HAVING COUNT(*) > {MINHASH_MAX_BUCKET}
-    )
+    SELECT b.* FROM buckets b
+    LEFT JOIN hot h ON b.band = h.band AND b.bucket = h.bucket
+    WHERE h.bucket IS NULL
 ),
 mpairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM kept a
-    JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
-        AND a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+        UNION ALL
+        -- hot buckets mirror dedup.py's O(m) star fallback: every member
+        -- pairs with the bucket's min doc id (hub < member always)
+        SELECT h.hub AS doc_a, b.doc_id AS doc_b
+        FROM buckets b
+        JOIN hot h ON b.band = h.band AND b.bucket = h.bucket
+        WHERE b.doc_id <> h.hub
+    )
 )
 """
     oracles = {
@@ -2125,6 +2179,42 @@ WHERE {h32.format(x='CAST(doc_id AS VARCHAR)')} % 10000 < 1000
             for i in range(4)
         )
         + " FROM documents",
+        # real PPM decode+resize: the fixture is closed-form in doc_id
+        # (synthesize_ppm), so the oracle recomputes width/height, the
+        # raster byte sum, and the 8x6 nearest-neighbor resample sum
+        # (sx = x*W//8, sy = y*H//6) with no decoder at all
+        "mm_ppm_decode": """
+WITH d AS (
+    SELECT doc_id, doc_id % 13 + 4 AS width, doc_id % 7 + 3 AS height
+    FROM documents
+),
+xs AS (SELECT UNNEST(generate_series(0, 15)) AS x),
+ys AS (SELECT UNNEST(generate_series(0, 8)) AS y),
+cs AS (SELECT UNNEST(generate_series(0, 2)) AS c),
+pix AS (
+    SELECT d.doc_id,
+           SUM((d.doc_id * 7 + ys.y * 5 + xs.x * 3 + cs.c) % 256) AS pixel_sum
+    FROM d, xs, ys, cs
+    WHERE xs.x < d.width AND ys.y < d.height
+    GROUP BY d.doc_id
+),
+rs AS (
+    SELECT d.doc_id,
+           SUM((d.doc_id * 7 + ((ry.y * d.height) // 6) * 5
+                + ((rx.x * d.width) // 8) * 3 + cs.c) % 256) AS resized_sum
+    FROM d,
+         (SELECT UNNEST(generate_series(0, 7)) AS x) rx,
+         (SELECT UNNEST(generate_series(0, 5)) AS y) ry,
+         cs
+    GROUP BY d.doc_id
+)
+SELECT d.doc_id, d.width, d.height, CAST(255 AS BIGINT) AS maxval,
+       CAST(pix.pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(rs.resized_sum AS BIGINT) AS resized_sum
+FROM d
+JOIN pix ON pix.doc_id = d.doc_id
+JOIN rs ON rs.doc_id = d.doc_id
+""",
     }
     # identical output by construction (same components, same oracle)
     oracles["dedup_clusters_star"] = oracles["dedup_clusters"]

@@ -30,6 +30,76 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_bucket_size: int = 10_000,
+) -> dict:
+    """The job body, session-agnostic (spark-submit main() and the e2e test
+    share it). Returns the lineage dict that main() prints."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from scala_timeseries_lib_spark.functions.text import quality_filter
+
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(input_dir, "documents.parquet"))
+    n_in = docs.count()
+
+    gated = quality_filter(
+        docs,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    ).select("doc_id")
+    # the gated corpus feeds the pair generation, the clustering, and the
+    # final semi-join: cache it so the quality gate runs once
+    kept_docs = docs.join(gated, "doc_id", "semi").cache()
+    n_gated = kept_docs.count()
+
+    # materialize the candidate pairs once: the lineage count and every
+    # clustering round read them
+    pairs, hot = minhash_lsh_pairs(
+        kept_docs, max_bucket_size=max_bucket_size, return_stats=True
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    # boilerplate-degeneracy lineage (ADVICE/VERDICT r3): how many LSH
+    # buckets blew the cap and how many linear star pairs they emitted
+    # (per band, before cross-band dedup) -- a corpus where these numbers
+    # dominate n_pairs is template-degenerate and deserves operator eyes.
+    # hot is a tiny aggregate; collecting it is one small job.
+    hot_rows = hot.select("m").collect()
+    n_hot_buckets = len(hot_rows)
+    n_star_pairs = sum(r["m"] - 1 for r in hot_rows)
+    clusters = neardup_clusters(kept_docs, pairs)
+
+    survivors = clusters.filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    corpus = docs.join(survivors, "doc_id", "semi")
+    corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+    n_out = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
+    kept_docs.unpersist()
+
+    return {
+        "docs_in": n_in,
+        "after_quality_and_exact_dedup": n_gated,
+        "neardup_candidate_pairs": n_pairs,
+        "n_hot_buckets": n_hot_buckets,
+        "n_star_pairs": n_star_pairs,
+        "docs_out": n_out,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="dir with documents.parquet")
@@ -41,53 +111,19 @@ def main() -> None:
     ap.add_argument("--max-bucket-size", type=int, default=10_000)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from scala_timeseries_lib_spark.functions.dedup import (
-        minhash_lsh_pairs,
-        neardup_clusters,
-    )
-    from scala_timeseries_lib_spark.functions.text import quality_filter
     from scala_timeseries_lib_spark.plans.session import get_spark
 
     spark = get_spark(master=args.master, app_name="corpus_dedup_job")
-    t0 = time.time()
-    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
-    n_in = docs.count()
-
-    gated = quality_filter(
-        docs,
+    lineage = run(
+        spark,
+        args.input,
+        args.out,
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
-    ).select("doc_id")
-    # the gated corpus feeds the pair generation, the clustering, and the
-    # final semi-join: cache it so the quality gate runs once
-    kept_docs = docs.join(gated, "doc_id", "semi").cache()
-    n_gated = kept_docs.count()
-
-    # materialize the candidate pairs once: the lineage count and every
-    # clustering round read them
-    pairs = minhash_lsh_pairs(
-        kept_docs, max_bucket_size=args.max_bucket_size
-    ).localCheckpoint(eager=True)
-    n_pairs = pairs.count()
-    clusters = neardup_clusters(kept_docs, pairs)
-
-    survivors = clusters.filter(
-        F.col("doc_id") == F.col("canonical_id")
-    ).select("doc_id")
-    corpus = docs.join(survivors, "doc_id", "semi")
-    corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
-    n_out = spark.read.parquet(os.path.join(args.out, "corpus")).count()
-
-    print(json.dumps({
-        "docs_in": n_in,
-        "after_quality_and_exact_dedup": n_gated,
-        "neardup_candidate_pairs": n_pairs,
-        "docs_out": n_out,
-        "wall_sec": round(time.time() - t0, 3),
-    }))
+        max_bucket_size=args.max_bucket_size,
+    )
+    print(json.dumps(lineage))
     spark.stop()
 
 

@@ -161,7 +161,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     max_bucket_size: int | None = 10_000,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """LSH banding: k/bands rows per band; docs sharing a full band bucket
     become candidate pairs (deduplicated). With k=8, bands=4 (r=2) the
     collision probability at jaccard s is 1-(1-s^2)^4: ~0.99 at s=0.8.
@@ -173,7 +174,12 @@ def minhash_lsh_pairs(
     paired with the bucket's minimum doc id, O(m) pairs -- so their members
     still land in one connected component downstream (dropping the bucket
     outright would silently exempt near-exact templated pages from dedup;
-    byte-identical docs are the only ones exact_dedup already catches)."""
+    byte-identical docs are the only ones exact_dedup already catches).
+
+    ``return_stats=True`` additionally returns the (tiny) hot-bucket frame
+    ``(band, bucket, m, _hub)`` so callers (jobs/corpus_dedup_job.py) can
+    emit boilerplate-degeneracy lineage (n_hot_buckets, star-pair volume)
+    without re-deriving the signature pipeline; returns ``(pairs, hot)``."""
     rows_per_band = len(MINHASH_A) // bands
     sig = minhash_signatures(df, text_col, n)
     banded = sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -187,13 +193,15 @@ def minhash_lsh_pairs(
     # signature pipeline once and feeds the join pre-partitioned
     buckets = buckets.repartition("band", "bucket")
     star = None
-    if max_bucket_size is not None:
-        hot = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("_hub"))
-            .filter(F.col("m") > max_bucket_size)
-            .select("band", "bucket", "_hub")
+    hot = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("_hub"))
+        .filter(
+            F.col("m") > max_bucket_size if max_bucket_size is not None
+            else F.lit(False)
         )
+    )
+    if max_bucket_size is not None:
         # hot is tiny (a handful of degenerate signatures): broadcast both
         # the anti-join that removes hot buckets from the quadratic path and
         # the equi-join that emits their linear star pairs
@@ -219,7 +227,10 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    pairs = pairs.distinct()
+    if return_stats:
+        return pairs, hot
+    return pairs
 
 
 def neardup_clusters(

@@ -21,7 +21,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["merge_series", "merge_series_n", "strict_zip_series", "NUMERIC_OPS"]
+__all__ = [
+    "merge_series",
+    "merge_series_n",
+    "strict_zip_series",
+    "merge_series_relational",
+    "merge_series_n_relational",
+    "strict_zip_series_relational",
+    "NUMERIC_OPS",
+]
 
 NUMERIC_OPS = (
     "plus", "plus_strict", "minus", "minus_strict", "multiply_strict", "fallback",
@@ -70,6 +78,7 @@ def merge_series(
     time_slice: int | None = None,
     left_default: float | None = None,
     right_default: float | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Merge two entries tables series-by-series.
 
@@ -85,6 +94,22 @@ def merge_series(
     elementary segment). Keys present on only one side behave as merging
     with the empty series (strict ops yield nothing; non-strict ops pass the
     defined side through).
+
+    ``engine`` picks the physical strategy for the NAMED numeric ops:
+
+    - ``"relational"`` — pure Catalyst (no Python stage): boundary explode →
+      one per-key window sort computing segment ``lead`` and per-side
+      carried values → op expression → gaps-and-islands RLE. One shuffle
+      end-to-end; whole plan is JVM codegen. Requires ``compress=True`` and
+      no ``time_slice`` (a hot key is one window partition; Spark's
+      sort-based window spills, and the kernel+time_slice combo remains the
+      escape hatch for the pathological-series regime).
+    - ``"kernel"`` — the offset-packed Arrow/numpy bucket kernel (always
+      used for callable ``op``; required for ``time_slice``/
+      ``compress=False``).
+    - ``"auto"`` (default) — relational for named ops when its requirements
+      hold (measured faster at sf0.1, see BENCH/BASELINE.md crossover
+      note), kernel otherwise.
 
     ``time_slice`` (ms) is the hot-series escape hatch: one series is
     otherwise inherently sequential inside its kernel call, so a single
@@ -104,6 +129,26 @@ def merge_series(
     is_callable = callable(op)
     if not is_callable and op not in NUMERIC_OPS:
         raise ValueError(f"unknown op {op!r}; expected callable or {NUMERIC_OPS}")
+    if engine not in ("auto", "kernel", "relational"):
+        raise ValueError(f"unknown engine {engine!r}")
+    relational_ok = (
+        not is_callable and compress and time_slice is None
+    )
+    if engine == "relational":
+        if not relational_ok:
+            raise ValueError(
+                "engine='relational' supports only named ops with "
+                "compress=True and no time_slice"
+            )
+        return merge_series_relational(
+            left, right, key_cols, op=op,
+            left_default=left_default, right_default=right_default,
+        )
+    if engine == "auto" and relational_ok:
+        return merge_series_relational(
+            left, right, key_cols, op=op,
+            left_default=left_default, right_default=right_default,
+        )
     # ops that may emit a value on an (undefined, undefined) segment need
     # the per-series span windows so packed inter-region gaps stay holes
     needs_ranges = is_callable or (
@@ -285,15 +330,286 @@ def _rle_repair(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def _boundary_rows(tagged: DataFrame, key_cols: list[str], n_value_cols: int = 1):
+    """Explode each fitted entry into a start row (carrying ``struct(end,
+    value…)``) and an end row (carrying null), the shared scaffold of the
+    relational merges.
+
+    Returns the exploded frame plus the two windows every relational merge
+    uses: ``w_carry`` (running frame for per-side carried values) and
+    ``w_lead`` (same sort, for the segment ``lead``). Both share one
+    physical sort: partition by key, order by ``(p, is_start)`` — end
+    markers sort BEFORE starts at the same instant, so an entry beginning
+    exactly where another ends takes effect on the new segment. Among tie
+    rows only the physically-last one survives the ``lead(p) > p`` segment
+    filter, and its running frame has absorbed every tie row, so ties are
+    handled without a distinct."""
+    from pyspark.sql import Window
+
+    value_fields = (
+        [F.col("value")] if n_value_cols == 1
+        else [F.col(f"value{i}") for i in range(n_value_cols)]
+    )
+    start = F.struct(
+        F.col("ts").alias("p"),
+        F.lit(1).alias("is_start"),
+        F.struct(
+            (F.col("ts") + F.col("validity")).alias("end"),
+            *[v.alias(f"v{i}") for i, v in enumerate(value_fields)],
+        ).alias("carry"),
+    )
+    # the end row's carry is a typed null: when(False, <same struct>) keeps
+    # the array element types identical without spelling the type twice
+    rows = (
+        tagged.select(
+            *key_cols,
+            "side",
+            F.explode(
+                F.array(
+                    start,
+                    F.struct(
+                        (F.col("ts") + F.col("validity")).alias("p"),
+                        F.lit(0).alias("is_start"),
+                        F.when(
+                            F.lit(False),
+                            F.struct(
+                                (F.col("ts") + F.col("validity")).alias("end"),
+                                *[
+                                    v.alias(f"v{i}")
+                                    for i, v in enumerate(value_fields)
+                                ],
+                            ),
+                        ).alias("carry"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .select(
+            *key_cols, "side",
+            F.col("ev.p").alias("p"),
+            F.col("ev.is_start").alias("is_start"),
+            F.col("ev.carry").alias("carry"),
+        )
+    )
+    w_sort = Window.partitionBy(*key_cols).orderBy("p", "is_start")
+    w_carry = w_sort.rowsBetween(Window.unboundedPreceding, 0)
+    return rows, w_carry, w_sort
+
+
+def _carried_value(side_idx: int, w_carry, value_field: str = "v0"):
+    """Value of side ``side_idx`` active on the segment starting at this
+    row's ``p``: last start-carry of that side, still covering p."""
+    carry = F.last(
+        F.when(
+            (F.col("side") == side_idx) & (F.col("is_start") == 1),
+            F.col("carry"),
+        ),
+        ignorenulls=True,
+    ).over(w_carry)
+    return F.when(carry["end"] > F.col("p"), carry[value_field])
+
+
+def _merge_value_expr(op, a, b, left_default, right_default):
+    """The kernel's op table (kernel/merge.py:_NUMERIC_OPS and
+    op_non_strict_minus) as a Catalyst CASE expression. Branch order mirrors
+    the kernel exactly (both → only-A → only-B → neither) so single-sided
+    segments pass the side's value through bit-identically (not value+0.0,
+    which would flip -0.0)."""
+    if op == "plus":
+        return (
+            F.when(a.isNotNull() & b.isNotNull(), a + b)
+            .when(a.isNotNull(), a)
+            .when(b.isNotNull(), b)
+        )
+    if op == "plus_strict":
+        return a + b
+    if op == "minus_strict":
+        return a - b
+    if op == "multiply_strict":
+        return a * b
+    if op == "fallback":
+        return F.coalesce(a, b)
+    if op == "minus":
+        only_a = (
+            a - F.lit(float(right_default)) if right_default is not None
+            else F.lit(None).cast(DoubleType())
+        )
+        only_b = (
+            F.lit(float(left_default)) - b if left_default is not None
+            else F.lit(None).cast(DoubleType())
+        )
+        neither = (
+            F.lit(float(left_default) - float(right_default))
+            if left_default is not None and right_default is not None
+            else F.lit(None).cast(DoubleType())
+        )
+        return (
+            F.when(a.isNotNull() & b.isNotNull(), a - b)
+            .when(a.isNotNull(), only_a)
+            .when(b.isNotNull(), only_b)
+            .otherwise(neither)
+        )
+    raise ValueError(f"unknown relational op {op!r}")
+
+
+def merge_series_relational(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    op: str = "plus",
+    left_default: float | None = None,
+    right_default: float | None = None,
+) -> DataFrame:
+    """Pure-Catalyst binary interval merge (TimeSeriesMerger.scala:13-196
+    semantics, zero Python stages).
+
+    Shape: explode each fitted entry into (start, end) boundary rows; ONE
+    per-key window sort yields both the elementary segment ``[p, lead(p))``
+    and each side's active value on it (running ``last`` of the side's
+    start-carry, masked by its ``end``); the kernel's op table runs as a
+    CASE expression; gaps-and-islands RLE-compresses equal contiguous runs.
+    One shuffle end-to-end — the islands window and final groupBy reuse the
+    per-key hash partitioning (``(key)`` satisfies the ``(key, island)``
+    clustering), and the whole plan is JVM codegen + two sorts.
+
+    Matches ``merge_series(engine="kernel", compress=True)`` exactly; pinned
+    by the randomized twin test (tests/test_relational_merge.py)."""
+    tagged = left.select(
+        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+    ).unionByName(
+        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+    )
+    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    a = _carried_value(0, w_carry)
+    b = _carried_value(1, w_carry)
+    segs = rows.select(
+        *key_cols,
+        F.col("p").alias("ts"),
+        (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
+        _merge_value_expr(op, a, b, left_default, right_default).alias("value"),
+    ).where(F.col("validity").isNotNull() & (F.col("validity") > 0)
+            & F.col("value").isNotNull())
+    return _rle_repair(segs, key_cols).select(
+        *key_cols, "ts", "value", "validity"
+    )
+
+
+def merge_series_n_relational(
+    dfs: list[DataFrame],
+    key_cols: list[str],
+    op: str = "plus",
+) -> DataFrame:
+    """Pure-Catalyst k-ary merge (``plus`` / ``plus_strict``), same
+    single-sort shape as the binary relational merge with one carry per
+    side."""
+    n_sides = len(dfs)
+    tagged = None
+    for i, df in enumerate(dfs):
+        part = df.select(
+            *key_cols, "ts", "value", "validity", F.lit(i).alias("side")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    vals = [_carried_value(i, w_carry) for i in range(n_sides)]
+    total = None
+    for v in vals:
+        c = F.coalesce(v, F.lit(0.0))
+        total = c if total is None else total + c
+    n_def = None
+    for v in vals:
+        d = F.when(v.isNotNull(), 1).otherwise(0)
+        n_def = d if n_def is None else n_def + d
+    if op == "plus":
+        value = F.when(n_def > 0, total)
+    elif op == "plus_strict":
+        value = F.when(n_def == n_sides, total)
+    else:
+        raise ValueError(f"unknown n-ary relational op {op!r}")
+    segs = rows.select(
+        *key_cols,
+        F.col("p").alias("ts"),
+        (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
+        value.alias("value"),
+    ).where(F.col("validity").isNotNull() & (F.col("validity") > 0)
+            & F.col("value").isNotNull())
+    return _rle_repair(segs, key_cols).select(
+        *key_cols, "ts", "value", "validity"
+    )
+
+
+def strict_zip_series_relational(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Pure-Catalyst strictZip (TimeSeries.scala:335): segments where BOTH
+    sides are defined, values carried as a pair; RLE merges contiguous runs
+    equal on BOTH values."""
+    from pyspark.sql import Window
+
+    tagged = left.select(
+        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+    ).unionByName(
+        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+    )
+    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    a = _carried_value(0, w_carry)
+    b = _carried_value(1, w_carry)
+    segs = rows.select(
+        *key_cols,
+        F.col("p").alias("ts"),
+        (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
+        a.alias("a_value"),
+        b.alias("b_value"),
+    ).where(
+        F.col("validity").isNotNull() & (F.col("validity") > 0)
+        & F.col("a_value").isNotNull() & F.col("b_value").isNotNull()
+    )
+    # gaps-and-islands on the value PAIR
+    w = Window.partitionBy(*key_cols).orderBy("ts")
+    prev_end = F.lag(F.col("ts") + F.col("validity")).over(w)
+    brk = F.when(
+        prev_end.isNull()
+        | (prev_end != F.col("ts"))
+        | (F.lag("a_value").over(w) != F.col("a_value"))
+        | (F.lag("b_value").over(w) != F.col("b_value")),
+        1,
+    ).otherwise(0)
+    island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        segs.withColumn("_island", island)
+        .groupBy(*key_cols, "_island")
+        .agg(
+            F.min("ts").alias("ts"),
+            F.min("a_value").alias("a_value"),
+            F.min("b_value").alias("b_value"),
+            (F.max(F.col("ts") + F.col("validity")) - F.min("ts")).alias(
+                "validity"
+            ),
+        )
+        .drop("_island")
+        .select(*key_cols, "ts", "a_value", "b_value", "validity")
+    )
+
+
 def strict_zip_series(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
     compress: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """strictZip (TimeSeries.scala:335): tuple-valued segments where BOTH
     series are defined. Output: key cols + ts, a_value, b_value, validity.
-    Same offset-packed single-call bucket kernel as merge_series."""
+    ``engine="auto"`` routes compressed zips through the pure-Catalyst path
+    (strict_zip_series_relational); ``"kernel"`` forces the offset-packed
+    single-call bucket kernel (required for ``compress=False``)."""
+    if engine not in ("auto", "kernel", "relational"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "relational" and not compress:
+        raise ValueError("engine='relational' requires compress=True")
+    if engine in ("auto", "relational") and compress:
+        return strict_zip_series_relational(left, right, key_cols)
     import numpy as np
     import pandas as pd
 
@@ -386,6 +702,7 @@ def merge_series_n(
     key_cols: list[str],
     op: str = "plus",
     compress: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """K-ary interval merge (TimeSeriesMerger.scala:64-79 generalized):
     merge k entries tables series-by-series in one pass over the boundary
@@ -394,8 +711,16 @@ def merge_series_n(
 
     ``op``: ``plus`` (non-strict sum of defined slots) or ``plus_strict``
     (defined only where all k sides are). One shuffle total: all sides are
-    unioned with a side tag and grouped once.
+    unioned with a side tag and grouped once. ``engine="auto"`` routes
+    compressed merges through the pure-Catalyst path
+    (merge_series_n_relational); ``"kernel"`` forces the Arrow kernel.
     """
+    if engine not in ("auto", "kernel", "relational"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "relational" and not compress:
+        raise ValueError("engine='relational' requires compress=True")
+    if engine in ("auto", "relational") and compress:
+        return merge_series_n_relational(dfs, key_cols, op=op)
     import numpy as np
     import pandas as pd
 

@@ -313,7 +313,7 @@ def rollup_time_weighted(
     step: int,
     origin: int = 0,
     round_to: int | None = None,
-    disjoint: bool = True,
+    disjoint: bool = False,
     skew_safe: bool = False,
 ) -> DataFrame:
     """Continuous-aggregate rollup (TimeSeries.scala:501-508): boundary-split
@@ -323,11 +323,14 @@ def rollup_time_weighted(
 
     Output: key_cols + bucket, twmean, vmin, vmax, integral_s, support_ms, n_pieces.
 
-    ``disjoint=True`` (default -- the reference's well-formed-series
-    invariant, guaranteed by ``fit_entries``/``derive_entries``) takes the
-    fused full/partial split of :func:`rollup_time_weighted_parts`, which
-    bypasses the hash aggregate for every fully-covered bucket. Set
-    ``disjoint=False`` for raw, possibly-overlapping entries: that path is
+    ``disjoint=True`` is the caller's PROMISE that entries are
+    non-overlapping per series (the reference's well-formed-series
+    invariant, guaranteed by ``fit_entries``/``derive_entries``); it takes
+    the fused full/partial split of :func:`rollup_time_weighted_parts`,
+    which bypasses the hash aggregate for every fully-covered bucket. On
+    input that violates the promise the split emits duplicate unmerged
+    (key, bucket) rows, so it is OPT-IN (ADVICE r3): the default
+    ``disjoint=False`` is correct on any input -- that path is
     one explode + one (key, bucket) hash aggregation and merges overlapping
     contributions (the split path would emit duplicate (key, bucket) rows on
     such input).

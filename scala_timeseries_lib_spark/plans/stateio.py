@@ -15,10 +15,12 @@ over it. The local branch (``os.replace``) is atomic. The Hadoop branch is
 NOT fully atomic: a driver crash between the delete and the rename leaves
 only ``<path>.tmp`` behind. ``read_json_state`` closes that window on the
 read side -- if the target is missing but a COMPLETE (JSON-parseable) tmp
-survives, it is promoted to the target and used; a torn/partial tmp is
-ignored. State readers (TierPipeline checkpoint, AppendStream pointer) go
-through ``read_json_state``, so a crashed commit recovers instead of
-silently restarting from empty state.
+survives, it is returned as the state (read-only: the next commit rewrites
+both files); a torn/partial tmp is ignored. State readers (TierPipeline
+checkpoint, AppendStream pointer) go through ``read_json_state``, so a
+crashed commit recovers instead of silently restarting from empty state.
+Intentional resets go through ``delete_state`` (target + tmp) so a stale
+tmp cannot resurrect deliberately-deleted state.
 """
 
 from __future__ import annotations
@@ -122,8 +124,12 @@ class StateIO:
 
         Crash recovery (see module docstring): if ``path`` is missing but a
         complete ``<path>.tmp`` parses as JSON, the tmp is the state a
-        crashed commit failed to rename -- promote it and return it. A tmp
-        that fails to parse is a torn write and is ignored.
+        crashed commit failed to rename -- return it WITHOUT writing (the
+        next commit overwrites both; ADVICE r3: a read path that writes
+        would require write access for readers and could re-materialize
+        state). A tmp that fails to parse is a torn write and is ignored.
+        Intentional resets must go through :meth:`delete_state` so a stale
+        tmp cannot outlive them.
         """
         if self.exists(path):
             return self.read_json(path)
@@ -131,8 +137,18 @@ class StateIO:
         if not self.exists(tmp):
             return None
         try:
-            obj = json.loads(self.read_text(tmp))
+            return json.loads(self.read_text(tmp))
         except ValueError:
             return None
-        self.write_json_atomic(path, obj)
-        return obj
+
+    def delete_state(self, path: str) -> None:
+        """Remove committed state AND any leftover ``<path>.tmp`` -- the
+        reset primitive. Deleting only the target would let a stale
+        crashed-commit tmp resurrect the state on the next read."""
+        for p in (path, path + ".tmp"):
+            if self._use_hadoop(p):
+                _jvm, fs, jp = self._hadoop(p)
+                if fs.exists(jp):
+                    fs.delete(jp, False)
+            elif os.path.exists(p):
+                os.remove(p)

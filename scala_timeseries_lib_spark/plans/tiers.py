@@ -48,7 +48,21 @@ TIER_STEPS = {"1m": 60_000, "1h": 3_600_000, "1d": 86_400_000}
 
 
 class TierPipeline:
-    """Materialize and incrementally maintain the 1m/1h/1d rollup tiers."""
+    """Materialize and incrementally maintain the 1m/1h/1d rollup tiers.
+
+    Rerun idempotence is **up to rounding, not byte-exact** (ADVICE r3):
+    coarser-tier float aggregates (``twmean``/``integral_s``) are sums of
+    doubles, and IEEE summation order differs between the first-run chain
+    (per-branch partial reaggregation of the in-memory finest tier) and an
+    incremental rerun (single reaggregation of the stored tier) -- and is
+    not even deterministic WITHIN one path, since hash-aggregate
+    accumulation order follows row arrival order. A rewrite of an unchanged
+    partition may therefore flip the last ulp of a float column. Exact
+    columns (``bucket``, ``vmin``/``vmax``, ``support_ms``, ``n_pieces``)
+    are byte-stable; float equality across reruns is pinned at 9 decimals
+    by tests/test_pipeline_e2e.py. Consumers needing cross-run hash
+    equality should round floats (functions/rounding.py:eps_floor), as the
+    oracle queries do."""
 
     def __init__(
         self,

@@ -216,10 +216,11 @@ class TestDfsSchemePaths:
 
 class TestStateIOCrashRecovery:
     """A driver crash between the Hadoop delete and rename leaves only
-    <path>.tmp; read_json_state must promote a complete tmp and ignore a
-    torn one (plans/stateio.py module docstring)."""
+    <path>.tmp; read_json_state must return a complete tmp (WITHOUT
+    writing on the read path, ADVICE r3) and ignore a torn one
+    (plans/stateio.py module docstring)."""
 
-    def test_complete_tmp_promoted(self, tmp_path):
+    def test_complete_tmp_returned_readonly(self, tmp_path):
         from scala_timeseries_lib_spark.plans.stateio import StateIO
 
         io = StateIO()
@@ -228,8 +229,22 @@ class TestStateIOCrashRecovery:
             fh.write('{"watermarks": {"0": 42}, "runs": []}')
         state = io.read_json_state(target)
         assert state == {"watermarks": {"0": 42}, "runs": []}
-        # promoted: a plain read now works and the state survives
-        assert io.read_json(target)["watermarks"]["0"] == 42
+        # read-only recovery: the target is NOT materialized by a read
+        assert not os.path.exists(target)
+        assert os.path.exists(target + ".tmp")
+
+    def test_delete_state_removes_stale_tmp(self, tmp_path):
+        # an intentional reset must not be resurrected by a stale tmp
+        from scala_timeseries_lib_spark.plans.stateio import StateIO
+
+        io = StateIO()
+        target = str(tmp_path / "ckpt.json")
+        with open(target, "w") as fh:
+            fh.write('{"epoch": 7}')
+        with open(target + ".tmp", "w") as fh:
+            fh.write('{"epoch": 6}')
+        io.delete_state(target)
+        assert io.read_json_state(target) is None
 
     def test_torn_tmp_ignored(self, tmp_path):
         from scala_timeseries_lib_spark.plans.stateio import StateIO

@@ -1,0 +1,162 @@
+"""Relational (pure-Catalyst) merge engine vs the Arrow kernel twin.
+
+The relational path (operators/merge.py merge_series_relational) must be
+indistinguishable from the kernel path (engine="kernel") for every named
+numeric op, including per-side minus defaults, single-sided keys, empty
+sides, and touching/overlapping/gapped entries. Reference semantics:
+TimeSeriesMerger.scala:13-196, NumericTimeSeries.scala:18-45,
+TimeSeries.scala:277-335,530-534.
+"""
+
+import numpy as np
+import pytest
+
+from scala_timeseries_lib_spark.operators.merge import (
+    merge_series,
+    merge_series_n,
+    merge_series_n_relational,
+    merge_series_relational,
+    strict_zip_series,
+    strict_zip_series_relational,
+)
+
+
+def _mk(spark, seed, n_keys=6, max_entries=40, only_keys=None):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        key = f"k{k}"
+        if only_keys is not None and key not in only_keys:
+            continue
+        t = int(rng.integers(0, 5))
+        for _ in range(int(rng.integers(0, max_entries))):
+            t += int(rng.integers(0, 20))
+            dur = int(rng.integers(1, 15))
+            rows.append((key, t, float(rng.integers(-3, 4)), dur))
+            # 70% touching (RLE-relevant), 30% gapped
+            t += dur if rng.random() < 0.7 else dur + int(rng.integers(1, 10))
+    if not rows:
+        rows = []
+    return spark.createDataFrame(
+        rows, "user_id string, ts long, value double, validity long"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+OPS = [
+    ("plus", {}),
+    ("plus_strict", {}),
+    ("minus", {}),
+    ("minus", dict(left_default=1.5)),
+    ("minus", dict(right_default=-2.0)),
+    ("minus", dict(left_default=1.5, right_default=-2.0)),
+    ("minus_strict", {}),
+    ("multiply_strict", {}),
+    ("fallback", {}),
+]
+
+
+@pytest.mark.parametrize("op,kw", OPS, ids=[f"{o}-{sorted(k)}" for o, k in OPS])
+def test_relational_matches_kernel(spark, op, kw):
+    a, b = _mk(spark, 11), _mk(spark, 22)
+    kernel = _canon(merge_series(a, b, ["user_id"], op=op, engine="kernel", **kw))
+    rel = _canon(merge_series_relational(a, b, ["user_id"], op=op, **kw))
+    assert kernel == rel
+    assert len(kernel) > 0
+
+
+def test_relational_single_sided_keys(spark):
+    # keys present on exactly one side behave as merge-with-empty
+    a = _mk(spark, 31, only_keys={"k0", "k1", "k2"})
+    b = _mk(spark, 32, only_keys={"k2", "k3", "k4"})
+    for op in ("plus", "plus_strict", "fallback"):
+        kernel = _canon(merge_series(a, b, ["user_id"], op=op, engine="kernel"))
+        rel = _canon(merge_series_relational(a, b, ["user_id"], op=op))
+        assert kernel == rel, op
+
+
+def test_relational_empty_side(spark):
+    a = _mk(spark, 41)
+    empty = a.limit(0)
+    rel = _canon(merge_series_relational(a, empty, ["user_id"], op="plus"))
+    kernel = _canon(merge_series(a, empty, ["user_id"], op="plus", engine="kernel"))
+    assert rel == kernel
+    assert _canon(merge_series_relational(a, empty, ["user_id"], op="plus_strict")) == []
+
+
+def test_relational_touching_entries_same_instant(spark):
+    # an entry starting exactly where another ends must take effect
+    # immediately (end markers sort before starts at equal p)
+    a = spark.createDataFrame(
+        [("k", 0, 1.0, 10), ("k", 10, 2.0, 10)],
+        "user_id string, ts long, value double, validity long",
+    )
+    b = spark.createDataFrame(
+        [("k", 5, 10.0, 10), ("k", 15, 20.0, 5)],
+        "user_id string, ts long, value double, validity long",
+    )
+    rel = _canon(merge_series_relational(a, b, ["user_id"], op="plus"))
+    kernel = _canon(merge_series(a, b, ["user_id"], op="plus", engine="kernel"))
+    assert rel == kernel
+    # spot-check one segment: at t=10 both new a-entry (2.0) and b (10.0)
+    assert ("k", 10, 12.0, 5) in rel
+
+
+def test_relational_rle_compression(spark):
+    # equal contiguous results must merge into one entry across the join
+    a = spark.createDataFrame(
+        [("k", 0, 1.0, 10), ("k", 10, 2.0, 10)],
+        "user_id string, ts long, value double, validity long",
+    )
+    b = spark.createDataFrame(
+        [("k", 0, 2.0, 10), ("k", 10, 1.0, 10)],
+        "user_id string, ts long, value double, validity long",
+    )
+    rel = _canon(merge_series_relational(a, b, ["user_id"], op="plus"))
+    assert rel == [("k", 0, 3.0, 20)]
+
+
+def test_n_ary_relational_matches_kernel(spark):
+    sides = [_mk(spark, s) for s in (51, 52, 53)]
+    for op in ("plus", "plus_strict"):
+        kernel = _canon(merge_series_n(sides, ["user_id"], op=op))
+        rel = _canon(merge_series_n_relational(sides, ["user_id"], op=op))
+        assert kernel == rel, op
+
+
+def test_strict_zip_relational_matches_kernel(spark):
+    a, b = _mk(spark, 61), _mk(spark, 62)
+    kernel = _canon(strict_zip_series(a, b, ["user_id"]))
+    rel = _canon(strict_zip_series_relational(a, b, ["user_id"]))
+    assert kernel == rel
+    assert len(kernel) > 0
+
+
+def test_auto_engine_routes_named_ops_relationally(spark):
+    a, b = _mk(spark, 71), _mk(spark, 72)
+    df = merge_series(a, b, ["user_id"], op="plus")  # engine="auto"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange") == 1
+    # callable op must still take the kernel
+    df2 = merge_series(
+        a, b, ["user_id"],
+        op=lambda x, y: (x or 0.0) + (y or 0.0) or None,
+    )
+    assert "FlatMapGroupsInPandas" in df2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_relational_engine_rejects_unsupported(spark):
+    a, b = _mk(spark, 81), _mk(spark, 82)
+    with pytest.raises(ValueError):
+        merge_series(a, b, ["user_id"], op="plus", engine="relational",
+                     compress=False)
+    with pytest.raises(ValueError):
+        merge_series(a, b, ["user_id"], op=lambda x, y: None,
+                     engine="relational")
+    with pytest.raises(ValueError):
+        merge_series(a, b, ["user_id"], op="plus", engine="relational",
+                     time_slice=1000)

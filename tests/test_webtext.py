@@ -250,3 +250,101 @@ def test_star_cc_matches_label_prop_and_converges_logarithmically(spark):
 
     prop = neardup_clusters(docs, pairs, max_iterations=200)
     assert got == {r["doc_id"]: r["canonical_id"] for r in prop.collect()}
+
+
+def test_minhash_hot_bucket_oracle_parity(spark):
+    """ADVICE r3 (medium): the oracle SQL must mirror the hot-bucket STAR
+    fallback, not drop hot buckets. 60 identical docs exceed the
+    registry's MINHASH_MAX_BUCKET=50 cap, so query and oracle only agree
+    if both emit the same O(m) star pairs (hub = bucket min doc id)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from scala_timeseries_lib_spark.functions.dedup import minhash_lsh_pairs
+
+    tail = " ".join(f"tok{j}" for j in range(40))
+    rows = [(i, "identical boilerplate page " + "x " * 20) for i in range(60)]
+    rows += [(100, f"real document {tail}"), (101, f"real document {tail} end")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, max_bucket_size=entry_mod.MINHASH_MAX_BUCKET
+        ).collect()
+    )
+    assert (0, 1) in got and (0, 59) in got  # star pairs present
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = entry_mod.oracle_sql()["dedup_minhash_pairs"]
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+    # and the recursive-CTE cluster oracle over the same mpairs agrees with
+    # the engine's connected components (star algorithm)
+    from scala_timeseries_lib_spark.functions.dedup import neardup_clusters
+
+    cl = neardup_clusters(
+        docs,
+        minhash_lsh_pairs(docs, max_bucket_size=entry_mod.MINHASH_MAX_BUCKET),
+        algorithm="star",
+    )
+    got_cl = sorted((r.doc_id, r.canonical_id) for r in cl.collect())
+    want_cl = sorted(
+        map(tuple, con.execute(
+            entry_mod.oracle_sql()["dedup_clusters_star"]
+        ).fetchall())
+    )
+    assert got_cl == want_cl
+
+
+def test_corpus_dedup_job_lineage_hot_buckets(spark, tmp_path):
+    """End-to-end job run (VERDICT r3 #7): the lineage JSON must carry the
+    boilerplate-degeneracy fields n_hot_buckets / n_star_pairs, non-zero
+    when a bucket blows the cap, zero on a clean corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from jobs.corpus_dedup_job import run
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 20 boilerplate near-clones: different BYTES (they survive the exact
+    # dedup inside quality_filter), quality-gate-passing prose, and the
+    # same distinct-shingle SET (a sentence repeated k>=3 times has a fixed
+    # circular 3-gram set) -> identical MinHash signatures -> one bucket,
+    # hot under cap=5
+    tmpl = ("the quick brown fox jumps over the lazy dog while many other "
+            "animals watch quietly from the green forest edge. ")
+    for i in range(20):
+        rows.append((i, (tmpl * (3 + i)).strip(), "en"))
+    for i in range(20, 60):
+        body = " ".join(
+            f"w{rng.integers(0, 5000)}" for _ in range(60)
+        )
+        rows.append((i, f"document {i} {body}", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(src / "documents.parquet"))
+
+    lineage = run(
+        spark, str(src), str(tmp_path / "out"),
+        min_quality=0.0, min_tokens=1, max_bucket_size=5,
+    )
+    assert lineage["n_hot_buckets"] > 0
+    assert lineage["n_star_pairs"] > 0
+    # the boilerplate clones dedup to one survivor through the star pairs
+    assert lineage["docs_out"] <= lineage["after_quality_and_exact_dedup"] - 19
+    for k in ("docs_in", "neardup_candidate_pairs", "docs_out", "wall_sec"):
+        assert k in lineage
+
+    lineage_clean = run(
+        spark, str(src), str(tmp_path / "out2"),
+        min_quality=0.0, min_tokens=1, max_bucket_size=10_000,
+    )
+    assert lineage_clean["n_hot_buckets"] == 0
+    assert lineage_clean["n_star_pairs"] == 0

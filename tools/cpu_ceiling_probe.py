@@ -41,26 +41,30 @@ def _run(procs: int, n: int) -> float:
     return time.time() - t0
 
 
+def measure(small: int = 8, big: int = 32, reps: int = 3,
+            n: int = 60_000_000) -> dict:
+    """Importable probe (tools/scaling_bench.py runs this inline before and
+    after each timed scaling pair so every scaling artifact carries its own
+    hardware context). Returns the probe dict; ``max_strong_scaling_
+    efficiency`` is the ceiling any workload is subject to that instant."""
+    _run(small, n // 10)  # warm pool/page-cache
+    t_small = min(_run(small, n) for _ in range(reps))
+    t_big = min(_run(big, n) for _ in range(reps))
+    return {
+        "procs_small": small,
+        "procs_big": big,
+        "t_small_sec": round(t_small, 3),
+        "t_big_sec": round(t_big, 3),
+        "per_core_slowdown": round(t_big / t_small, 3),
+        "max_strong_scaling_efficiency": round(t_small / t_big, 3),
+    }
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    n = 60_000_000
-    _run(small, n // 10)  # warm pool/page-cache
-    t_small = min(_run(small, n) for _ in range(reps))
-    t_big = min(_run(big, n) for _ in range(reps))
-    print(
-        json.dumps(
-            {
-                "procs_small": small,
-                "procs_big": big,
-                "t_small_sec": round(t_small, 3),
-                "t_big_sec": round(t_big, 3),
-                "per_core_slowdown": round(t_big / t_small, 3),
-                "max_strong_scaling_efficiency": round(t_small / t_big, 3),
-            }
-        )
-    )
+    print(json.dumps(measure(small, big, reps)))
 
 
 if __name__ == "__main__":

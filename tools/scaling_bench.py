@@ -1,5 +1,5 @@
 """Two-parallelism scaling measurement (the sandbox proxy for N vs 4N
-executors, BASELINE.json / BENCH/BASELINE.md).
+executors, BASELINE.json / BENCH/BASELINE.md) — self-adjudicating.
 
 Measures the tier rollup COMPUTE (raw -> 1m -> 1h -> 1d, forced via
 aggregation, no file-system writes) on an input amplified ``--replicate``
@@ -10,15 +10,28 @@ Masters: ``--cores K`` runs ``local[K]`` (threads in one JVM);
 C cores each -- the honest multi-JVM proxy for N executors on a cluster
 (each JVM brings its own heap, allocator, and GC).
 
+``--pair`` runs the north rule's literal 2-executor -> 8-executor pair (4
+cores each = the mandated 8/32 core counts) in ONE invocation, with the
+pure-CPU hardware probe (tools/cpu_ceiling_probe.py) run inline BEFORE and
+AFTER the timed passes. The emitted JSON then carries everything a third
+party needs to adjudicate the claim without trusting the narrative:
+
+- ``raw_efficiency``   = (t_N / t_4N) / 4 — the unadjusted measurement;
+- ``probe_before`` / ``probe_after`` — the box's own per-core slowdown
+  between the same two core counts at the time of the run (an
+  embarrassingly-parallel integer loop; no engine, no JVM);
+- ``probe_ceiling``    = max of the two probes' max_strong_scaling_
+  efficiency (the box at its BEST during the window — the conservative
+  normalization base);
+- ``probe_normalized_efficiency`` = raw / ceiling — what the same job
+  would score on non-degraded hardware, under the probe's bound.
+
 Methodology notes (why warmup + best-of-k):
 - a fresh JVM runs the first rollup interpreted; whole-stage-codegen classes
   JIT-compile during it. One full untimed pipeline pass warms that up.
 - single-box timings vary +/-15-30% run to run with GC phase alignment and
   VM co-tenancy, so we report the best of ``--iters`` timed passes per core
-  count (the cluster-relevant steady-state number). Pair this with
-  tools/cpu_ceiling_probe.py, which measures the box's OWN per-core
-  slowdown between the two parallelism levels -- the hardware ceiling any
-  workload (including a pure-CPU integer loop) is subject to.
+  count (the cluster-relevant steady-state number).
 
 Tier chain (round 3, matches bench.py): 1m via the full/partial split
 (rollup_time_weighted_parts) forced WITHOUT a 74M-row cache; 1h chained
@@ -29,6 +42,8 @@ Prints one JSON line per run.
 
 Usage: python tools/scaling_bench.py --cores 8 [--sf-dir ...]
        [--replicate 48] [--iters 3] [--master 'local-cluster[2,4,6144]']
+       python tools/scaling_bench.py --pair          # the scaling artifact
+Collect >=5 serialized --pair invocations with tools/scaling_evidence.py.
 """
 
 from __future__ import annotations
@@ -41,25 +56,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+PAIR_MASTERS = ("local-cluster[2,4,6144]", "local-cluster[8,4,6144]")
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cores", type=int, default=None)
-    ap.add_argument("--master", default=None,
-                    help="overrides --cores; e.g. local-cluster[2,4,6144]")
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--replicate", type=int, default=48)
-    ap.add_argument("--iters", type=int, default=3)
-    args = ap.parse_args()
-    if not args.master and args.cores is None:
-        ap.error("need --cores or --master")
-    master = args.master or f"local[{args.cores}]"
-    if args.master and args.master.startswith("local-cluster["):
-        n, c, _m = args.master[len("local-cluster["):-1].split(",")
-        cores = int(n) * int(c)
-    else:
-        cores = args.cores
 
+def _cores_of(master: str, cores: int | None) -> int:
+    if master.startswith("local-cluster["):
+        n, c, _m = master[len("local-cluster["):-1].split(",")
+        return int(n) * int(c)
+    return cores
+
+
+def measure_master(master: str, cores: int, sf_dir: str,
+                   replicate: int, iters: int) -> dict:
+    """Warmup + best-of-``iters`` tier-chain wall time on ``master``.
+    Starts and stops its own SparkSession (fresh JVMs per measurement)."""
     from pyspark.sql import functions as F
 
     from bench import force
@@ -73,9 +83,9 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "24g"},
     )
     keys = ["user_id", "event_type"]
-    events = spark.read.parquet(os.path.join(args.sf_dir, "events.parquet"))
-    if args.replicate > 1:
-        rep = spark.range(args.replicate).select(F.col("id").alias("rep"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if replicate > 1:
+        rep = spark.range(replicate).select(F.col("id").alias("rep"))
         events = events.crossJoin(rep).withColumn(
             "user_id", F.col("user_id") + F.col("rep") * 1_000_000
         ).drop("rep")
@@ -121,26 +131,74 @@ def main() -> None:
 
     run()  # untimed warmup: JIT-compiles the codegen'd explode+agg pipeline
 
-    best, points = None, 0
-    for _ in range(max(args.iters, 1)):
+    best, walls, points = None, [], 0
+    for _ in range(max(iters, 1)):
         t0 = time.time()
         points = run()
         wall = time.time() - t0
+        walls.append(round(wall, 3))
         best = wall if best is None else min(best, wall)
-
-    print(
-        json.dumps(
-            {
-                "master": master,
-                "cores": cores,
-                "entries": n_entries,
-                "points": points,
-                "wall_sec": round(best, 3),
-                "points_per_sec": round(points / best, 1),
-            }
-        )
-    )
     spark.stop()
+    return {
+        "master": master,
+        "cores": cores,
+        "entries": n_entries,
+        "points": points,
+        "wall_sec": round(best, 3),
+        "walls_all": walls,
+        "points_per_sec": round(points / best, 1),
+    }
+
+
+def run_pair(sf_dir: str, replicate: int, iters: int) -> dict:
+    """One self-adjudicating N -> 4N invocation: probe, t_N, t_4N, probe."""
+    from cpu_ceiling_probe import measure as probe
+
+    out = {"metric": "scaling_pair", "sf_dir": sf_dir,
+           "replicate": replicate, "iters": iters,
+           "started_unix": int(time.time())}
+    out["probe_before"] = probe()
+    for tag, master in zip(("n", "n4"), PAIR_MASTERS):
+        out[tag] = measure_master(
+            master, _cores_of(master, None), sf_dir, replicate, iters
+        )
+    out["probe_after"] = probe()
+    t_n, t_4n = out["n"]["wall_sec"], out["n4"]["wall_sec"]
+    ceiling = max(
+        out["probe_before"]["max_strong_scaling_efficiency"],
+        out["probe_after"]["max_strong_scaling_efficiency"],
+    )
+    out["raw_efficiency"] = round((t_n / t_4n) / 4.0, 3)
+    out["probe_ceiling"] = ceiling
+    out["probe_normalized_efficiency"] = round(
+        out["raw_efficiency"] / ceiling, 3
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--master", default=None,
+                    help="overrides --cores; e.g. local-cluster[2,4,6144]")
+    ap.add_argument("--pair", action="store_true",
+                    help="run the 2->8 executor pair with inline probes")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.pair:
+        print(json.dumps(run_pair(args.sf_dir, args.replicate, args.iters)))
+        return
+
+    if not args.master and args.cores is None:
+        ap.error("need --cores, --master, or --pair")
+    master = args.master or f"local[{args.cores}]"
+    print(json.dumps(measure_master(
+        master, _cores_of(master, args.cores), args.sf_dir,
+        args.replicate, args.iters,
+    )))
 
 
 if __name__ == "__main__":
