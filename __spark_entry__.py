@@ -694,7 +694,10 @@ def _q_minhash_pairs(spark, sf_dir):
 
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the (capped) MinHash
-    LSH candidate pairs; canonical_id = min doc_id of the component."""
+    LSH candidate pairs; canonical_id = min doc_id of the component.
+    Pinned to the label-propagation TWIN (star is the engine default since
+    the round-4 shootout) so the driver keeps both algorithms green
+    against the same oracle."""
     from scala_timeseries_lib_spark.functions.dedup import (
         minhash_lsh_pairs,
         neardup_clusters,
@@ -702,7 +705,7 @@ def _q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, max_bucket_size=MINHASH_MAX_BUCKET)
-    return neardup_clusters(docs, pairs)
+    return neardup_clusters(docs, pairs, algorithm="label_prop")
 
 
 def _q_dedup_clusters_star(spark, sf_dir):

@@ -8,7 +8,8 @@ Pipeline (the standard web-corpus preparation chain):
                          one md5 hash-aggregate), functions.text.quality_filter
 2. near-dup candidates -- MinHash LSH banded pairs with the hot-bucket cap,
                          functions.dedup.minhash_lsh_pairs
-3. clustering          -- connected components by min-label propagation,
+3. clustering          -- connected components by large-star/small-star
+                         contraction (diameter-independent default),
                          functions.dedup.neardup_clusters; keep one doc per
                          cluster (the minimum id)
 4. write               -- surviving corpus as parquet, plus a JSON lineage

@@ -238,30 +238,33 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
-    algorithm: str = "label_prop",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc gets
     ``canonical_id`` = the minimum doc id reachable through the pair graph
     (its own id when unpaired). This is the keep-one-per-cluster step a
     dedup pipeline runs after LSH/Jaccard candidate generation.
 
-    ``algorithm="label_prop"`` (default): distributed min-label propagation
-    (Pregel-style). Each round is one equi-join of labels onto edges + a
-    min-aggregate; rounds repeat until no label changes. Near-dup
-    components come from shared LSH buckets, so they are dense and flat --
-    diameter (and thus round count) is small; each round shuffles |E| + |V|
-    rows on int keys and lineage is truncated per round (localCheckpoint),
-    the standard iterative-CC shape.
+    ``algorithm="star"`` (DEFAULT since the round-4 shootout,
+    tools/cc_shootout.py + BENCH/BASELINE.md): the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): alternating rounds
+    rewire every node's strictly-larger (large-star) / smaller-or-equal
+    (small-star) neighbors to its neighborhood minimum, converging in
+    O(log n) rounds regardless of component DIAMETER. Measured: a
+    100k-doc chain (label-prop's worst case) converges in 39.5 s where
+    label propagation extrapolates to ~10^5 rounds / ~23 h; a 256-chain
+    runs 13x faster; on a trivial flat LSH graph it concedes ~0.5 s of
+    fixed round overhead. At web scale candidate graphs can be
+    adversarially chainy (pairwise near-dup chains from sliding shingle
+    windows), so the diameter-independent algorithm is the safe default.
 
-    ``algorithm="star"``: the two-phase large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
-    2014): alternating rounds rewire every node's strictly-larger
-    (large-star) / smaller-or-equal (small-star) neighbors to its
-    neighborhood minimum, converging in O(log n) rounds regardless of
-    component DIAMETER -- the escalation path when candidate graphs are
-    adversarially chainy (e.g. pairwise near-dup chains from sliding
-    shingle windows) where one-hop label propagation would need
-    diameter-many rounds. Identical output (pinned by test).
+    ``algorithm="label_prop"`` (the twin): distributed min-label
+    propagation (Pregel-style). Each round is one equi-join of labels onto
+    edges + a min-aggregate; rounds repeat until no label changes --
+    rounds = component diameter. Fine when components are known dense and
+    flat (shared-bucket cliques); kept as the independent semantics twin
+    (identical output, pinned by test and by the shared oracle).
     """
     if algorithm == "star":
         return _neardup_clusters_star(docs, pairs, id_col, max_iterations)
