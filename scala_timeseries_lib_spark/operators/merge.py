@@ -100,13 +100,12 @@ def merge_series(
     - ``"relational"`` — pure Catalyst (no Python stage): boundary explode →
       one per-key window sort computing segment ``lead`` and per-side
       carried values → op expression → gaps-and-islands RLE. One shuffle
-      end-to-end; whole plan is JVM codegen. Requires ``compress=True`` and
-      no ``time_slice`` (a hot key is one window partition; Spark's
-      sort-based window spills, and the kernel+time_slice combo remains the
-      escape hatch for the pathological-series regime).
+      end-to-end; whole plan is JVM codegen. Requires ``compress=True``.
+      ``time_slice`` works here too: (key, slice) window partitions plus
+      the per-key RLE border repair (the hot-key escape hatch without
+      leaving the JVM).
     - ``"kernel"`` — the offset-packed Arrow/numpy bucket kernel (always
-      used for callable ``op``; required for ``time_slice``/
-      ``compress=False``).
+      used for callable ``op``; required for ``compress=False``).
     - ``"auto"`` (default) — relational for named ops when its requirements
       hold (measured faster at sf0.1, see BENCH/BASELINE.md crossover
       note), kernel otherwise.
@@ -131,23 +130,27 @@ def merge_series(
         raise ValueError(f"unknown op {op!r}; expected callable or {NUMERIC_OPS}")
     if engine not in ("auto", "kernel", "relational"):
         raise ValueError(f"unknown engine {engine!r}")
-    relational_ok = (
-        not is_callable and compress and time_slice is None
+    # ops that may emit a value on an (undefined, undefined) segment cannot
+    # be time-sliced on either engine: holes crossing slice borders would
+    # be filled per-slice (checked again below for the kernel path)
+    _needs_ranges = is_callable or (
+        op == "minus" and left_default is not None and right_default is not None
     )
-    if engine == "relational":
-        if not relational_ok:
-            raise ValueError(
-                "engine='relational' supports only named ops with "
-                "compress=True and no time_slice"
-            )
-        return merge_series_relational(
-            left, right, key_cols, op=op,
-            left_default=left_default, right_default=right_default,
+    relational_ok = (
+        not is_callable and compress
+        and not (time_slice is not None and _needs_ranges)
+    )
+    if engine == "relational" and not relational_ok:
+        raise ValueError(
+            "engine='relational' supports only named ops with "
+            "compress=True (and no time_slice for ops that fill "
+            "(undefined, undefined) segments)"
         )
-    if engine == "auto" and relational_ok:
+    if engine in ("relational", "auto") and relational_ok:
         return merge_series_relational(
             left, right, key_cols, op=op,
             left_default=left_default, right_default=right_default,
+            time_slice=time_slice,
         )
     # ops that may emit a value on an (undefined, undefined) segment need
     # the per-series span windows so packed inter-region gaps stay holes
@@ -459,6 +462,7 @@ def merge_series_relational(
     op: str = "plus",
     left_default: float | None = None,
     right_default: float | None = None,
+    time_slice: int | None = None,
 ) -> DataFrame:
     """Pure-Catalyst binary interval merge (TimeSeriesMerger.scala:13-196
     semantics, zero Python stages).
@@ -472,23 +476,56 @@ def merge_series_relational(
     per-key hash partitioning (``(key)`` satisfies the ``(key, island)``
     clustering), and the whole plan is JVM codegen + two sorts.
 
+    ``time_slice`` (ms) is the hot-KEY escape hatch, same contract as the
+    kernel path: one key is otherwise one window partition (a single sort
+    task), so a pathological series would straggle. With a slice width set,
+    both sides are pre-split at absolute ``k*time_slice`` boundaries, every
+    (key, slice) merges as an independent window partition, and the final
+    gaps-and-islands pass (which runs per KEY regardless) re-merges equal
+    contiguous runs across slice borders — identical output, pinned by
+    test. Not valid for ops that fill (undefined, undefined) segments
+    (minus with both defaults): interior holes crossing borders would be
+    filled per-slice.
+
     Matches ``merge_series(engine="kernel", compress=True)`` exactly; pinned
     by the randomized twin test (tests/test_relational_merge.py)."""
+    if time_slice is not None and (
+        op == "minus" and left_default is not None and right_default is not None
+    ):
+        raise ValueError(
+            "time_slice cannot be combined with an op that fills "
+            "(undefined, undefined) segments"
+        )
+    group_cols = list(key_cols)
+    if time_slice is not None:
+        from .series_ops import split_at_buckets
+
+        left = split_at_buckets(left, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        right = split_at_buckets(right, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        group_cols = [*key_cols, "_slice"]
     tagged = left.select(
-        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+        *group_cols, "ts", "value", "validity", F.lit(0).alias("side")
     ).unionByName(
-        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+        right.select(*group_cols, "ts", "value", "validity", F.lit(1).alias("side"))
     )
-    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    rows, w_carry, w_sort = _boundary_rows(tagged, group_cols)
     a = _carried_value(0, w_carry)
     b = _carried_value(1, w_carry)
     segs = rows.select(
-        *key_cols,
+        *group_cols,
         F.col("p").alias("ts"),
         (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
         _merge_value_expr(op, a, b, left_default, right_default).alias("value"),
     ).where(F.col("validity").isNotNull() & (F.col("validity") > 0)
-            & F.col("value").isNotNull())
+            # NaN results drop too: the kernel twin uses NaN as its hole
+            # sentinel, so a NaN input value yields a hole there; match it
+            & F.col("value").isNotNull() & ~F.isnan("value"))
+    if time_slice is not None:
+        segs = segs.drop("_slice")
     return _rle_repair(segs, key_cols).select(
         *key_cols, "ts", "value", "validity"
     )

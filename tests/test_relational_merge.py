@@ -157,6 +157,32 @@ def test_relational_engine_rejects_unsupported(spark):
     with pytest.raises(ValueError):
         merge_series(a, b, ["user_id"], op=lambda x, y: None,
                      engine="relational")
+
+
+def test_relational_time_slice_identical_output(spark):
+    # the hot-key escape hatch must not change results: slice at absolute
+    # boundaries, merge per (key, slice), RLE-repair across borders
+    a, b = _mk(spark, 91), _mk(spark, 92)
+    base = _canon(merge_series_relational(a, b, ["user_id"], op="plus"))
+    sliced = _canon(
+        merge_series_relational(a, b, ["user_id"], op="plus", time_slice=37)
+    )
+    assert base == sliced
+    # and through the dispatcher (auto engine now accepts time_slice)
+    via_dispatch = _canon(
+        merge_series(a, b, ["user_id"], op="plus", time_slice=37)
+    )
+    assert base == via_dispatch
+    plan = merge_series(
+        a, b, ["user_id"], op="plus", time_slice=37
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_relational_time_slice_rejects_hole_filling_ops(spark):
+    a, b = _mk(spark, 93), _mk(spark, 94)
     with pytest.raises(ValueError):
-        merge_series(a, b, ["user_id"], op="plus", engine="relational",
-                     time_slice=1000)
+        merge_series_relational(
+            a, b, ["user_id"], op="minus",
+            left_default=1.0, right_default=2.0, time_slice=100,
+        )

@@ -49,15 +49,17 @@ def run_once(sf_dir: str, replicate: int, iters: int) -> dict:
 
 def table(rows: list[dict]) -> str:
     md = [
-        "| run | t_8c (s) | t_32c (s) | raw eff | probe before | probe after"
-        " | ceiling | normalized |",
-        "|---|---|---|---|---|---|---|---|",
+        "| run | t_8c (s) | t_32c (s) | raw eff | probe before | probe mid"
+        " | probe after | ceiling | normalized |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for i, r in enumerate(rows):
+        mid = r.get("probe_mid", {}).get("max_strong_scaling_efficiency", "-")
         md.append(
             f"| {i + 1} | {r['n']['wall_sec']} | {r['n4']['wall_sec']} "
             f"| {r['raw_efficiency']} "
             f"| {r['probe_before']['max_strong_scaling_efficiency']} "
+            f"| {mid} "
             f"| {r['probe_after']['max_strong_scaling_efficiency']} "
             f"| {r['probe_ceiling']} "
             f"| {r['probe_normalized_efficiency']} |"
@@ -66,11 +68,11 @@ def table(rows: list[dict]) -> str:
     norms = [r["probe_normalized_efficiency"] for r in rows]
     ceils = [r["probe_ceiling"] for r in rows]
     md.append(
-        f"| **median** | | | **{statistics.median(raws):.3f}** | | "
+        f"| **median** | | | **{statistics.median(raws):.3f}** | | | "
         f"| {statistics.median(ceils):.3f} | {statistics.median(norms):.3f} |"
     )
     md.append(
-        f"| **best** | | | **{max(raws):.3f}** | | "
+        f"| **best** | | | **{max(raws):.3f}** | | | "
         f"| {max(ceils):.3f} | {max(norms):.3f} |"
     )
     return "\n".join(md)
