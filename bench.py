@@ -13,7 +13,7 @@ Extra fields beyond the driver contract:
   per-core slowdown at measurement time (round-3 judge: identical code
   swung 1.6-2.5x between driver runs purely from VM degradation; the probe
   makes each number adjudicable after the fact).
-- ``repeat``: per-query timings are best-of-``--repeat`` (default 2)
+- ``repeat``: per-query timings are best-of-``--repeat`` (default 3)
   serialized in-process passes; raise it (e.g. ``--repeat 4``) on noisy
   boxes.
 - with ``SPARK_GRAFT_SCALING=1``: the amplified tier job on 2 vs 8
@@ -236,8 +236,11 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
+    # default best-of-3: the measured 2x invocation swings make best-of-2
+    # a coin flip on a bad-GC pass; the third pass costs ~1 min of bench
+    # wall and stabilizes the headline (override with SPARK_GRAFT_REPEAT)
     ap.add_argument("--repeat", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_REPEAT", "2")))
+                    default=int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
     args = ap.parse_args()
 
     probe_before = _probe()

@@ -80,18 +80,25 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best, r
 
-    def rollup_probe(skew_safe):
-        df = ops.rollup_time_weighted(entries, keys, 60_000, skew_safe=skew_safe)
+    def rollup_probe(skew_safe, disjoint=False):
+        df = ops.rollup_time_weighted(
+            entries, keys, 60_000, skew_safe=skew_safe, disjoint=disjoint
+        )
         row = df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("support_ms").alias("sup")
         ).collect()[0]
         return int(row["n"]), int(row["sup"])
 
-    # warmup both plans
+    # warmup all three plans
     rollup_probe(False)
     rollup_probe(True)
+    rollup_probe(False, disjoint=True)
     t_def, out_def = timed(lambda: rollup_probe(False))
     t_safe, out_safe = timed(lambda: rollup_probe(True))
+    # the fused split (caller asserts fitted/disjoint input -- true here):
+    # interior buckets of the hot key bypass the hash agg entirely, so it
+    # is the hot-key winner when the precondition holds
+    t_split, out_split = timed(lambda: rollup_probe(False, disjoint=True))
 
     # merge scenario: hot vs shifted hot (plus normals on both sides)
     shifted = entries.withColumn("ts", F.col("ts") + 37_000)
@@ -103,9 +110,12 @@ def main() -> None:
         ).collect()[0]
         return int(row["n"]), round(float(row["wsum"]), 3)
 
+    # warm BOTH plans (they codegen differently), then best-of-2 each --
+    # a single pass at this size swings 2x with GC alignment
+    merge_probe(None)
     merge_probe(3_600_000 * 24)
-    t_m_def, out_m_def = timed(lambda: merge_probe(None), k=1)
-    t_m_sliced, out_m_sliced = timed(lambda: merge_probe(3_600_000 * 24), k=1)
+    t_m_def, out_m_def = timed(lambda: merge_probe(None), k=2)
+    t_m_sliced, out_m_sliced = timed(lambda: merge_probe(3_600_000 * 24), k=2)
 
     print(json.dumps({
         "cores": args.cores,
@@ -114,9 +124,10 @@ def main() -> None:
         "rollup": {
             "default_sec": round(t_def, 2),
             "skew_safe_sec": round(t_safe, 2),
+            "disjoint_split_sec": round(t_split, 2),
             "speedup": round(t_def / t_safe, 2),
             "points": out_def[0],
-            "outputs_equal": out_def == out_safe,
+            "outputs_equal": out_def == out_safe == out_split,
         },
         "merge": {
             "default_sec": round(t_m_def, 2),
