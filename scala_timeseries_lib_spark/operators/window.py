@@ -23,6 +23,7 @@ __all__ = [
     "sliding_grid_agg",
     "sliding_window_exact",
     "rolling_values",
+    "rolling_values_relational",
     "dynamic_window_exact",
     "dynamic_window_relational",
     "sample_closest",
@@ -239,12 +240,103 @@ def sliding_window_exact(
     return apply_per_bucket(df, key_cols, _sweep_bucket, out_schema)
 
 
+def rolling_values_relational(
+    df: DataFrame,
+    key_cols: list[str],
+    window_ms: int,
+    agg: str = "sum",
+    compress: bool = True,
+) -> DataFrame:
+    """Pure-Catalyst ``rolling`` for the decomposable aggregates (sum /
+    mean), zero Python stages.
+
+    The insight (same contiguous-range argument as the kernel,
+    kernel/window.py:rolling_grouped): on FITTED entries (ordered,
+    disjoint -- the operator's standing precondition) end times are
+    increasing, so the entries expelled from entry i's window
+    ``[ts_i - window_ms, ts_i)`` form a PREFIX of the series: exactly
+    those j with ``end_j <= ts_i - window_ms``. Hence
+
+        rolling_i = cumsum_i - cumsum_{removed(i)}
+
+    where ``removed(i)`` resolves with the same single-sort carry trick as
+    the relational merge: union each entry's end event (carrying its
+    cumulative sum/count) with a probe at ``ts_i - window_ms`` (carrying
+    the entry's own cumulative row), sort per key by (point, kind) with
+    end events first at ties (``end_j <= p`` removes), and take the
+    running last end-carry at each probe. Two window sorts over one
+    per-key exchange; the optional RLE compression is the merge engine's
+    gaps-and-islands pass. Matches ``rolling_values(engine="kernel")``
+    exactly (twin-tested)."""
+    from .merge import _rle_repair
+
+    if window_ms <= 0:
+        raise ValueError("Needs a strictly positive window size")
+    if agg not in ("sum", "mean"):
+        raise ValueError(
+            f"relational rolling supports sum|mean, got {agg!r}"
+        )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ent = df.select(
+        *key_cols, "ts", "value", "validity",
+        F.sum("value").over(w_cum).alias("_s"),
+        F.count(F.lit(1)).over(w_cum).alias("_c"),
+    )
+    probes = ent.select(
+        *key_cols,
+        (F.col("ts") - F.lit(window_ms)).alias("p"),
+        F.lit(1).alias("kind"),
+        F.struct("ts", "value", "validity", "_s", "_c").alias("row"),
+        F.lit(None).cast("struct<s:double,c:bigint>").alias("endc"),
+    )
+    ends = ent.select(
+        *key_cols,
+        (F.col("ts") + F.col("validity")).alias("p"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast(
+            "struct<ts:bigint,value:double,validity:bigint,_s:double,_c:bigint>"
+        ).alias("row"),
+        F.struct(F.col("_s").alias("s"), F.col("_c").alias("c")).alias("endc"),
+    )
+    w_carry = (
+        Window.partitionBy(*key_cols)
+        .orderBy("p", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        probes.unionByName(ends)
+        .withColumn(
+            "_rm", F.last("endc", ignorenulls=True).over(w_carry)
+        )
+        .where(F.col("kind") == 1)
+    )
+    s = F.col("row._s") - F.coalesce(F.col("_rm.s"), F.lit(0.0))
+    c = F.col("row._c") - F.coalesce(F.col("_rm.c"), F.lit(0))
+    value = s if agg == "sum" else s / c
+    out = carried.select(
+        *key_cols,
+        F.col("row.ts").alias("ts"),
+        value.alias("value"),
+        F.col("row.validity").alias("validity"),
+    )
+    if not compress:
+        return out
+    return _rle_repair(out, key_cols).select(
+        *key_cols, "ts", "value", "validity"
+    )
+
+
 def rolling_values(
     df: DataFrame,
     key_cols: list[str],
     window_ms: int,
     agg: str = "sum",
     compress: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """NumericTimeSeries.rolling (scala:49-64): every entry's value becomes
     the aggregate of the VALUES of entries overlapping ``[ts - window_ms,
@@ -252,10 +344,20 @@ def rolling_values(
     optionally RLE-compressed like any mapEntries result).
 
     Not expressible as a Spark range frame (an entry enters the window
-    through its END time, which is another row's attribute), so it runs the
-    contiguous-range kernel per salt bucket (one searchsorted + prefix sums
-    / sparse-table RMQ -- same argument as the exact sweep). ``agg``: sum |
-    mean | min | max; arbitrary aggregators via kernel.window.rolling."""
+    through its END time, which is another row's attribute) -- but for the
+    DECOMPOSABLE aggregates (sum/mean) it IS expressible as cumulative sums
+    minus an as-of carry over end events, and ``engine="auto"`` routes
+    those through the pure-Catalyst :func:`rolling_values_relational`
+    (zero Python). min/max (order statistics need the kernel's sparse-table
+    RMQ) and ``engine="kernel"`` run the contiguous-range kernel per salt
+    bucket (one searchsorted + prefix sums / RMQ -- same argument as the
+    exact sweep); arbitrary aggregators via kernel.window.rolling."""
+    if engine not in ("auto", "kernel", "relational"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "relational" or (engine == "auto" and agg in ("sum", "mean")):
+        return rolling_values_relational(
+            df, key_cols, window_ms, agg=agg, compress=compress
+        )
     import numpy as np
     import pandas as pd
 

@@ -186,3 +186,39 @@ def test_relational_time_slice_rejects_hole_filling_ops(spark):
             a, b, ["user_id"], op="minus",
             left_default=1.0, right_default=2.0, time_slice=100,
         )
+
+
+def test_rolling_relational_matches_kernel(spark):
+    """rolling(sum|mean) via cumulative sums minus an as-of end-event carry
+    (operators/window.py rolling_values_relational) must match the
+    contiguous-range kernel bit-for-bit on fitted series."""
+    from scala_timeseries_lib_spark.operators.window import rolling_values
+
+    df = _mk(spark, 101)
+    for agg in ("sum", "mean"):
+        for window_ms in (13, 60, 500):
+            kernel = _canon(rolling_values(
+                df, ["user_id"], window_ms, agg=agg, engine="kernel"
+            ))
+            rel = _canon(rolling_values(
+                df, ["user_id"], window_ms, agg=agg, engine="relational"
+            ))
+            assert kernel == rel, (agg, window_ms)
+            assert len(kernel) > 0
+    # uncompressed twin too (no RLE pass)
+    k = _canon(rolling_values(df, ["user_id"], 60, compress=False,
+                              engine="kernel"))
+    r = _canon(rolling_values(df, ["user_id"], 60, compress=False,
+                              engine="relational"))
+    assert k == r
+    # min/max must stay on the kernel (order statistics need RMQ)
+    plan = rolling_values(
+        df, ["user_id"], 60, agg="min"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    plan2 = rolling_values(
+        df, ["user_id"], 60, agg="sum"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan2
+    with pytest.raises(ValueError):
+        rolling_values(df, ["user_id"], 60, agg="min", engine="relational")
