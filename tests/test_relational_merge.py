@@ -252,3 +252,49 @@ def test_sample_closest_relational_matches_kernel(spark):
         df, ["user_id"], 20
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in auto_plan
+
+
+def test_relational_stress_high_entropy(spark):
+    """One wide adversarial batch instead of per-example fuzzing (a Spark
+    round per hypothesis example would be minutes): 40 keys mixing dense
+    RLE chains, long validities, negative timestamps, huge magnitudes, and
+    singleton series — kernel and relational must agree on every op."""
+    rng = np.random.default_rng(987)
+    rows_a, rows_b = [], []
+    for k in range(40):
+        key = f"k{k}"
+        style = k % 4
+        for rows, seed_shift in ((rows_a, 0), (rows_b, 1)):
+            t = int(rng.integers(-1_000_000, 1_000_000))
+            n = 1 if style == 3 else int(rng.integers(2, 120))
+            for _ in range(n):
+                if style == 0:      # dense chain, tiny values (RLE-heavy)
+                    dur = int(rng.integers(1, 4))
+                    v = float(rng.integers(0, 2))
+                    gap = 0
+                elif style == 1:    # long validities, big magnitudes
+                    dur = int(rng.integers(10_000, 500_000))
+                    v = float(rng.integers(-10**9, 10**9))
+                    gap = int(rng.integers(0, 1_000_000))
+                else:               # mixed
+                    dur = int(rng.integers(1, 500))
+                    v = float(rng.integers(-50, 50))
+                    gap = int(rng.integers(0, 800))
+                rows.append((key, t, v, dur))
+                t += dur + gap + (1 if gap == 0 and rng.random() < 0.5 else 0)
+                # keep strictly increasing when gap==0 kept half the time
+                if gap == 0 and rows[-1][1] == t:
+                    t += 1
+    a = spark.createDataFrame(
+        rows_a, "user_id string, ts long, value double, validity long"
+    )
+    b = spark.createDataFrame(
+        rows_b, "user_id string, ts long, value double, validity long"
+    )
+    for op, kw in OPS:
+        kernel = _canon(
+            merge_series(a, b, ["user_id"], op=op, engine="kernel", **kw)
+        )
+        rel = _canon(merge_series_relational(a, b, ["user_id"], op=op, **kw))
+        assert kernel == rel, op
+        assert len(kernel) > 100
