@@ -76,10 +76,14 @@ def run(
     # buckets blew the cap and how many linear star pairs they emitted
     # (per band, before cross-band dedup) -- a corpus where these numbers
     # dominate n_pairs is template-degenerate and deserves operator eyes.
-    # hot is a tiny aggregate; collecting it is one small job.
-    hot_rows = hot.select("m").collect()
-    n_hot_buckets = len(hot_rows)
-    n_star_pairs = sum(r["m"] - 1 for r in hot_rows)
+    # One server-side aggregate: on a template-degenerate corpus the hot
+    # set itself need not be tiny, so never collect its rows to the driver.
+    hot_agg = hot.agg(
+        F.count(F.lit(1)).alias("n_hot_buckets"),
+        F.coalesce(F.sum(F.col("m") - 1), F.lit(0)).alias("n_star_pairs"),
+    ).first()
+    n_hot_buckets = int(hot_agg["n_hot_buckets"])
+    n_star_pairs = int(hot_agg["n_star_pairs"])
     clusters = neardup_clusters(kept_docs, pairs)
 
     survivors = clusters.filter(

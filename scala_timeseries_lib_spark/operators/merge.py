@@ -308,10 +308,13 @@ def _rle_repair(df: DataFrame, key_cols: list[str]) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy("ts")
     prev_end = F.lag(F.col("ts") + F.col("validity")).over(w)
     prev_val = F.lag("value").over(w)
+    # NaN always breaks: Spark's NaN = NaN is true, but the kernel twins
+    # compress with numpy equality (NaN != NaN), keeping NaN runs split
     brk = F.when(
         prev_end.isNull()
         | (prev_end != F.col("ts"))
-        | (prev_val != F.col("value")),
+        | (prev_val != F.col("value"))
+        | F.isnan(F.col("value")),
         1,
     ).otherwise(0)
     island = F.sum(brk).over(
@@ -569,8 +572,12 @@ def merge_series_n_relational(
         value.alias("value"),
     ).where(F.col("validity").isNotNull() & (F.col("validity") > 0)
             & F.col("value").isNotNull())
+    # NaN sums stay (split by the islands' NaN break) but surface as null,
+    # exactly like the kernel twin's NaN does across the Arrow boundary
     return _rle_repair(segs, key_cols).select(
-        *key_cols, "ts", "value", "validity"
+        *key_cols, "ts",
+        F.when(~F.isnan("value"), F.col("value")).alias("value"),
+        "validity",
     )
 
 
@@ -609,7 +616,10 @@ def strict_zip_series_relational(
         prev_end.isNull()
         | (prev_end != F.col("ts"))
         | (F.lag("a_value").over(w) != F.col("a_value"))
-        | (F.lag("b_value").over(w) != F.col("b_value")),
+        | (F.lag("b_value").over(w) != F.col("b_value"))
+        # numpy twin keeps NaN runs split (NaN != NaN there)
+        | F.isnan(F.col("a_value"))
+        | F.isnan(F.col("b_value")),
         1,
     ).otherwise(0)
     island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -625,7 +635,14 @@ def strict_zip_series_relational(
             ),
         )
         .drop("_island")
-        .select(*key_cols, "ts", "a_value", "b_value", "validity")
+        # NaN pair slots surface as null, like the kernel twin's NaN does
+        # across the Arrow boundary (runs already split by the NaN break)
+        .select(
+            *key_cols, "ts",
+            F.when(~F.isnan("a_value"), F.col("a_value")).alias("a_value"),
+            F.when(~F.isnan("b_value"), F.col("b_value")).alias("b_value"),
+            "validity",
+        )
     )
 
 

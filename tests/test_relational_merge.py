@@ -120,19 +120,65 @@ def test_relational_rle_compression(spark):
 
 
 def test_n_ary_relational_matches_kernel(spark):
+    # engine="kernel" is load-bearing: the dispatcher default is relational,
+    # so omitting it would compare the relational path to itself
     sides = [_mk(spark, s) for s in (51, 52, 53)]
     for op in ("plus", "plus_strict"):
-        kernel = _canon(merge_series_n(sides, ["user_id"], op=op))
+        kernel = _canon(
+            merge_series_n(sides, ["user_id"], op=op, engine="kernel")
+        )
         rel = _canon(merge_series_n_relational(sides, ["user_id"], op=op))
         assert kernel == rel, op
+        assert len(kernel) > 0
 
 
 def test_strict_zip_relational_matches_kernel(spark):
     a, b = _mk(spark, 61), _mk(spark, 62)
-    kernel = _canon(strict_zip_series(a, b, ["user_id"]))
+    kernel = _canon(strict_zip_series(a, b, ["user_id"], engine="kernel"))
     rel = _canon(strict_zip_series_relational(a, b, ["user_id"]))
     assert kernel == rel
     assert len(kernel) > 0
+
+
+def test_nan_values_match_kernel_split(spark):
+    """NaN input values: the kernels keep NaN segments but never RLE-merge
+    adjacent NaN runs (numpy NaN != NaN); Spark's NaN = NaN is true, so the
+    relational islands must break on NaN explicitly. Binary named ops treat
+    NaN results as holes on BOTH engines (kernel keep-mask, relational
+    filter); n-ary and strict-zip keep them, split."""
+    nan = float("nan")
+    rows_a = [("k", 0, 1.0, 10), ("k", 10, nan, 10), ("k", 20, nan, 10),
+              ("k", 35, 2.0, 5)]
+    rows_b = [("k", 0, nan, 15), ("k", 15, 3.0, 10), ("k", 30, nan, 10)]
+    schema = "user_id string, ts long, value double, validity long"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+
+    def _cmp_nan(k_rows, r_rows):
+        assert len(k_rows) == len(r_rows)
+        for kr, rr in zip(k_rows, r_rows):
+            for kv, rv in zip(kr, rr):
+                if isinstance(kv, float) and np.isnan(kv):
+                    assert isinstance(rv, float) and np.isnan(rv)
+                else:
+                    assert kv == rv
+
+    # binary: NaN results are holes on both engines
+    for op in ("plus", "plus_strict", "fallback"):
+        kernel = _canon(merge_series(a, b, ["user_id"], op=op, engine="kernel"))
+        rel = _canon(merge_series_relational(a, b, ["user_id"], op=op))
+        _cmp_nan(kernel, rel)
+    # n-ary: NaN kept, adjacent NaN runs stay split like the kernel
+    for op in ("plus", "plus_strict"):
+        kernel = _canon(
+            merge_series_n([a, b], ["user_id"], op=op, engine="kernel")
+        )
+        rel = _canon(merge_series_n_relational([a, b], ["user_id"], op=op))
+        _cmp_nan(kernel, rel)
+    # strict zip: NaN pair slots kept, split
+    kernel = _canon(strict_zip_series(a, b, ["user_id"], engine="kernel"))
+    rel = _canon(strict_zip_series_relational(a, b, ["user_id"]))
+    _cmp_nan(kernel, rel)
 
 
 def test_auto_engine_routes_named_ops_relationally(spark):

@@ -6,10 +6,13 @@ rows — per-run t_N / t_4N / raw efficiency / inline hardware probes, plus
 median and best across ALL accumulated rows.
 
 The table's claim convention: the criterion (>=0.8 between N and 4N
-executors, BASELINE.json) is met if EITHER the best raw efficiency >= 0.8,
-OR the paired probes show the box's own ceiling below 0.8 on every run that
-missed (i.e. the shortfall is demonstrably the VM, not the engine) — in
-which case probe_normalized_efficiency carries the engine's share.
+executors, BASELINE.json) is met if the MEDIAN raw efficiency across all
+accumulated runs is >= 0.8 (the primary, steady-state criterion). Documented
+fallback when the median misses: the paired probes show the box's own
+ceiling below 0.8 on every run that missed (i.e. the shortfall is
+demonstrably the VM, not the engine) — in which case the median
+probe_normalized_efficiency carries the engine's share. Per-run bests are
+reported for context only and never satisfy the criterion on their own.
 
 Usage: python tools/scaling_evidence.py [--runs 5] [--fresh]
 """
