@@ -741,6 +741,20 @@ def _q_bpe_tokens(spark, sf_dir):
     return bpe_token_count(_docs(spark, sf_dir))
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Real BPE encode with the closed-form fixture merge table
+    (functions/text.py BPE_FIXTURE_MERGES — the reference trainer's output
+    on sf0.001, reproduced by the distributed trainer, pinned by test).
+    Output pins the exact token SEQUENCE per doc: encoded token count plus
+    a position-sensitive fingerprint over the flattened token stream."""
+    from scala_timeseries_lib_spark.functions.text import (
+        BPE_FIXTURE_MERGES,
+        bpe_encode_stats,
+    )
+
+    return bpe_encode_stats(_docs(spark, sf_dir), BPE_FIXTURE_MERGES)
+
+
 def _q_quality(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.text import quality_score
 
@@ -946,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "text_bpe_tokens": _q_bpe_tokens,
+        "text_bpe_encode": _q_bpe_encode,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -1800,12 +1815,78 @@ def _webtext_oracles() -> dict[str, str]:
         MINHASH_P,
     )
     from scala_timeseries_lib_spark.functions.text import (
+        BPE_FIXTURE_MERGES,
         FP_MOD,
         LANG_STOPWORDS,
         STOPWORDS,
     )
 
     h32 = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
+
+    # text_bpe_encode: exact greedy BPE encode of the distinct pretokens by
+    # a recursive CTE replaying the fixture merge table in training order
+    # (one greedy left-to-right pass per rule — for same-symbol runs the
+    # parity term keeps only the 1st/3rd/5th... match of each run, which IS
+    # left-to-right greedy; for p != q matches can never overlap).
+    bpe_rules = ", ".join(
+        f"('{p}', '{q}', {i + 1})"
+        for i, (p, q) in enumerate(BPE_FIXTURE_MERGES)
+    )
+    bpe_r = len(BPE_FIXTURE_MERGES)
+    bpe_pass = """
+list_filter(
+  list_transform(range(1, len(syms) + 1), i ->
+    CASE
+      WHEN i > 1 AND syms[i-1] = p AND syms[i] = q
+           AND (p != q OR
+                ((i-1) - coalesce(list_max(list_filter(range(1, i),
+                                                       j -> syms[j] != p)), 0)) % 2 = 1)
+        THEN NULL
+      WHEN i < len(syms) AND syms[i] = p AND syms[i+1] = q
+           AND (p != q OR
+                (i - coalesce(list_max(list_filter(range(1, i + 1),
+                                                   j -> syms[j] != p)), 0)) % 2 = 1)
+        THEN p || q
+      ELSE syms[i]
+    END),
+  x -> x IS NOT NULL)
+"""
+    bpe_encode_sql = f"""
+WITH RECURSIVE rules(p, q, rank) AS (VALUES {bpe_rules}),
+pre AS (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS word,
+           generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'), 1) AS wpos
+    FROM documents
+),
+vocab AS (SELECT DISTINCT word FROM pre),
+enc AS (
+    SELECT word, regexp_split_to_array(word, '') AS syms, 0 AS r FROM vocab
+    UNION ALL
+    SELECT word, {bpe_pass} AS syms, e.r + 1
+    FROM enc e JOIN rules ON rules.rank = e.r + 1
+    WHERE e.r < {bpe_r}
+),
+wstats AS (
+    SELECT word,
+           CAST(len(syms) AS BIGINT) AS n_toks,
+           CAST(list_sum(list_transform(syms,
+                t -> {h32.format(x='t')} % {FP_MOD})) % {FP_MOD} AS BIGINT) AS s_hash,
+           CAST(list_sum(list_transform(syms,
+                (t, i) -> ({h32.format(x='t')} % {FP_MOD}) * i)) % {FP_MOD} AS BIGINT) AS wfp
+    FROM enc WHERE r = {bpe_r}
+),
+joined AS (
+    SELECT p.doc_id, p.wpos, ws.n_toks, ws.s_hash, ws.wfp,
+           COALESCE(SUM(ws.n_toks) OVER (PARTITION BY p.doc_id ORDER BY p.wpos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM pre p JOIN wstats ws USING (word)
+)
+SELECT doc_id,
+       CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM((wfp + off * s_hash) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS bpe_fingerprint
+FROM joined GROUP BY doc_id
+"""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     shingle_cte = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1860,6 +1941,90 @@ sig AS (
         f"(sqrt({dot.format(a='{q}', b='{q}')}) * sqrt({dot.format(a='{c}', b='{c}')}))"
     )
     plane_w = "(((p * 64 + i - 1) * 1103515245 + 12345) % 2001 - 1000) / 1000.0"
+
+    # sim_ann_ivf_topk: trained coarse quantizer — unroll the exact-integer
+    # spherical k-means (similarity.ivf_train_kmeans) iteration by
+    # iteration. Quantized vectors make every Lloyd update exact int64
+    # arithmetic, so this SQL replays training bit-for-bit; final candidate
+    # scoring stays the raw double cosine at round 4, as before.
+    from scala_timeseries_lib_spark.functions.similarity import IVF_Q
+
+    cos_int = (
+        "(CAST(list_sum(list_transform(range(1, len({q}) + 1),"
+        " i -> {q}[i] * {c}[i])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(range(1, len({q}) + 1),"
+        " i -> {q}[i] * {q}[i])) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(range(1, len({c}) + 1),"
+        " i -> {c}[i] * {c}[i])) AS DOUBLE))))"
+    )
+
+    def _ef6(x):
+        return f"FLOOR(({x}) * 1000000 + 0.5 + 0.000001) / 1000000"
+
+    ivf_iters = 3
+    ivf_ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "baseq AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(floor(x * {IVF_Q} + 0.5) AS BIGINT)) AS q FROM embeddings)",
+        "unq AS (SELECT vec_id, UNNEST(q) AS v, generate_subscripts(q, 1) AS dim "
+        "FROM baseq)",
+        "cents0 AS (SELECT vec_id AS centroid, q AS c_emb FROM baseq "
+        "WHERE vec_id < 8)",
+    ]
+    for it in range(ivf_iters):
+        ci = cos_int.format(q="b.q", c="c.c_emb")
+        ivf_ctes.append(
+            f"asn{it} AS (SELECT vec_id, centroid FROM ("
+            f"SELECT b.vec_id, c.centroid, row_number() OVER ("
+            f"PARTITION BY b.vec_id ORDER BY {_ef6(ci)} DESC, c.centroid) AS rnk "
+            f"FROM baseq b, cents{it} c) WHERE rnk = 1)"
+        )
+        ivf_ctes.append(
+            f"sums{it} AS (SELECT a.centroid, u.dim, SUM(u.v) AS s "
+            f"FROM asn{it} a JOIN unq u USING (vec_id) GROUP BY a.centroid, u.dim)"
+        )
+        ivf_ctes.append(
+            f"cents{it + 1} AS (SELECT centroid, list(s ORDER BY dim) AS c_emb "
+            f"FROM sums{it} GROUP BY centroid)"
+        )
+    ivf_final = f"cents{ivf_iters}"
+    ci_final = cos_int.format(q="b.q", c="c.c_emb")
+    ci_query = cos_int.format(q="q.q", c="c.c_emb")
+    ivf_cte_block = ",\n".join(ivf_ctes)
+    ivf_trained_sql = f"""
+WITH {ivf_cte_block},
+asn AS (
+    SELECT vec_id, centroid FROM (
+        SELECT b.vec_id, c.centroid,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY {_ef6(ci_final)} DESC, c.centroid) AS rnk
+        FROM baseq b, {ivf_final} c
+    ) WHERE rnk = 1
+),
+q AS (SELECT b.vec_id AS query_id, b.emb AS q_emb, bq.q
+      FROM base b JOIN baseq bq USING (vec_id) WHERE b.vec_id < 8),
+probes AS (
+    SELECT query_id, q_emb, centroid FROM (
+        SELECT q.query_id, q.q_emb, c.centroid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_ef6(ci_query)} DESC, c.centroid) AS rnk
+        FROM q, {ivf_final} c
+    ) WHERE rnk <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           FLOOR(({cos.format(q='p.q_emb', c='b.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
+    FROM asn a
+    JOIN base b USING (vec_id)
+    JOIN probes p ON a.centroid = p.centroid
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
     mpairs_ctes = f""",
 buckets AS (
     SELECT doc_id, hash_idx // 2 AS band,
@@ -1962,6 +2127,7 @@ SELECT doc_id,
             AS INT) AS n_bpe_tokens
 FROM documents
 """,
+        "text_bpe_encode": bpe_encode_sql,
         "text_token_stats": f"""
 WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
@@ -2087,42 +2253,7 @@ SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
     FROM scored
 ) WHERE rank <= 3
 """,
-        "sim_ann_ivf_topk": f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-cents AS (SELECT vec_id AS centroid, emb AS c_emb FROM base WHERE vec_id < 8),
-asn AS (
-    SELECT vec_id, centroid FROM (
-        SELECT b.vec_id, c.centroid,
-               row_number() OVER (PARTITION BY b.vec_id
-                   ORDER BY FLOOR(({cos.format(q='b.emb', c='c.c_emb')}) * 1000000 + 0.5 + 0.000001) / 1000000 DESC,
-                            c.centroid) AS rnk
-        FROM base b, cents c
-    ) WHERE rnk = 1
-),
-q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 8),
-probes AS (
-    SELECT query_id, q_emb, centroid FROM (
-        SELECT q.query_id, q.q_emb, c.centroid,
-               row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY FLOOR(({cos.format(q='q.q_emb', c='c.c_emb')}) * 1000000 + 0.5 + 0.000001) / 1000000 DESC,
-                            c.centroid) AS rnk
-        FROM q, cents c
-    ) WHERE rnk <= 2
-),
-scored AS (
-    SELECT p.query_id, a.vec_id AS cand_id,
-           FLOOR(({cos.format(q='p.q_emb', c='b.emb')}) * 10000 + 0.5 + 0.000001) / 10000 AS sim
-    FROM asn a
-    JOIN base b USING (vec_id)
-    JOIN probes p ON a.centroid = p.centroid
-    WHERE a.vec_id != p.query_id
-)
-SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, cand_id) AS rank
-    FROM scored
-) WHERE rank <= 3
-""",
+        "sim_ann_ivf_topk": ivf_trained_sql,
         "dedup_emb_cosine": f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 proj AS (

@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 from .rounding import eps_floor
 
 __all__ = ["cosine_sim", "knn_bruteforce", "lsh_bucket_expr", "lsh_buckets", "ann_lsh_topk",
-           "ivf_assign", "ann_ivf_topk", "embedding_neardup_pairs",
-           "N_PLANES", "plane_weight_expr"]
+           "ivf_assign", "ivf_train_kmeans", "ann_ivf_topk", "embedding_neardup_pairs",
+           "N_PLANES", "IVF_Q", "plane_weight_expr"]
 
 N_PLANES = 4
+
+# k-means quantization grid: embeddings are fixed-pointed to 1/IVF_Q before
+# training so every Lloyd update is EXACT int64 arithmetic — associative, so
+# distributed aggregation order cannot perturb a centroid and the DuckDB
+# oracle reproduces training bit-for-bit. 2^14 keeps the worst-case dot
+# (|x|<=1, 64 dims, ~1e6 vectors summed) far inside int64.
+IVF_Q = 1 << 14
 
 
 def _to_double(col):
@@ -138,6 +145,95 @@ def ivf_assign(
     )
 
 
+def _quantized(col):
+    """array<float> -> array<long> on the 1/IVF_Q fixed-point grid
+    (floor(x*Q + 0.5): round-half-up, identical in DuckDB)."""
+    return F.transform(
+        _to_double(col), lambda x: F.floor(x * IVF_Q + 0.5).cast("long")
+    )
+
+
+def _dot_int(x, y):
+    """Exact int64 dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos_int(a, b):
+    """Cosine over quantized vectors: exact integer dots, one deterministic
+    per-row double division at the end."""
+    return _dot_int(a, b).cast("double") / (
+        F.sqrt(_dot_int(a, a).cast("double"))
+        * F.sqrt(_dot_int(b, b).cast("double"))
+    )
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed spherical k-means for the IVF coarse quantizer (Lloyd
+    iterations as DataFrame ops — the public algorithm).
+
+    Deterministic by construction, no seed needed:
+
+    - init: centroid c = (quantized) embedding of ``vec_id = c`` — the same
+      deterministic pick :func:`ivf_assign` uses;
+    - assign: broadcast-centroid argmax of the QUANTIZED cosine
+      (``eps_floor`` at ``round_to``, ties to the lower centroid id);
+    - update: centroid := elementwise SUM of its members' quantized vectors.
+      Cosine is scale-invariant, so the un-normalized integer sum IS the
+      spherical-k-means mean direction — and int64 addition is associative,
+      so the distributed aggregation order cannot change a single bit.
+      Fixed ``n_iters`` (no convergence test) keeps the trace replayable.
+
+    The DuckDB oracle unrolls the same iterations and matches exactly.
+    Returns (centroid, c_emb array<long>); empty clusters drop out (both
+    engines agree). One broadcast join + one explode-aggregate per round;
+    round cost is one corpus pass — at 100 TB train on a sample, the
+    assignment math does not change."""
+    from pyspark.sql import Window
+
+    base = df.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid"), F.col("q").alias("c_emb")
+    )
+    for _ in range(n_iters):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid"))
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "q", "centroid",
+                eps_floor(
+                    _cos_int(F.col("q"), F.col("c_emb")), round_to
+                ).alias("csim"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+        sums = (
+            assigned.select("centroid", F.posexplode("q").alias("dim", "v"))
+            .groupBy("centroid", "dim")
+            .agg(F.sum("v").alias("s"))
+        )
+        cents = (
+            sums.groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda x: x["s"],
+                ).alias("c_emb")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -145,17 +241,35 @@ def ann_ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     round_to: int = 4,
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: score only candidates whose centroid is among
     the query's ``n_probe`` closest centroids. The candidate join is an
     equi-join on the centroid id (inverted lists), so the scan cost drops
-    by ~n_centroids/n_probe versus brute force -- the standard IVF trade."""
+    by ~n_centroids/n_probe versus brute force -- the standard IVF trade.
+
+    ``train_iters > 0`` (default 3) runs the exact-integer spherical
+    k-means (:func:`ivf_train_kmeans`) for the coarse quantizer; assignment
+    and probe selection then use the quantized cosine against the trained
+    centroids (recall vs brute force measured in BENCH/BASELINE.md).
+    ``train_iters=0`` keeps the untrained identity-pick quantizer."""
     from pyspark.sql import Window
 
-    base = df.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid"), F.col("emb").alias("c_emb")
+    base = df.select(
+        "vec_id",
+        _to_double(F.col("embedding")).alias("emb"),
+        _quantized(F.col("embedding")).alias("q"),
     )
+    if train_iters > 0:
+        cents = F.broadcast(ivf_train_kmeans(df, n_centroids, train_iters))
+        csim_base = eps_floor(_cos_int(F.col("q"), F.col("c_emb")), 6)
+    else:
+        cents = F.broadcast(
+            base.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("centroid"), F.col("emb").alias("c_emb")
+            )
+        )
+        csim_base = eps_floor(cosine_sim(F.col("emb"), F.col("c_emb")), 6)
     # same assignment rule as ivf_assign, but the embedding is carried
     # THROUGH the argmax window instead of being joined back on vec_id
     # afterwards -- one shuffle (the window) instead of two
@@ -163,24 +277,24 @@ def ann_ivf_topk(
         F.desc("csim"), F.asc("centroid")
     )
     assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "emb", "centroid",
-            eps_floor(cosine_sim(F.col("emb"), F.col("c_emb")), 6).alias("csim"),
-        )
+        base.crossJoin(cents)
+        .select("vec_id", "emb", "q", "centroid", csim_base.alias("csim"))
         .withColumn("rnk", F.row_number().over(wa))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "emb", "centroid")
     )
 
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("q").alias("q_q"),
     )
-    q_cent = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "q_emb",
-        "centroid",
-        eps_floor(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6).alias("csim"),
+    if train_iters > 0:
+        q_csim = eps_floor(_cos_int(F.col("q_q"), F.col("c_emb")), 6)
+    else:
+        q_csim = eps_floor(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6)
+    q_cent = queries.crossJoin(cents).select(
+        "query_id", "q_emb", "centroid", q_csim.alias("csim")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid"))
     probes = (

@@ -103,7 +103,7 @@ def write_blocks(
             return pd.DataFrame(columns=out_names)
         pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
                               ignore_index=True)
-        codes, _ = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        codes, _ = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False)
         ts = pdf["ts"].to_numpy(np.int64)
         val = pdf["value"].to_numpy(np.float64)
         dur = pdf["validity"].to_numpy(np.int64)

@@ -100,7 +100,7 @@ def fit_entries(df: DataFrame, key_cols: list[str], compress: bool = True) -> Da
             return pd.DataFrame(columns=out_names)
         pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
                               ignore_index=True)
-        codes, _ = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        codes, _ = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False)
         keep_idx, ts, value, validity = fit_arrays_grouped(
             codes, pdf["ts"].to_numpy(), pdf["value"].to_numpy(),
             pdf["validity"].to_numpy(), compress=compress,

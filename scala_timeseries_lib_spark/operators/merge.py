@@ -79,6 +79,8 @@ def merge_series(
     left_default: float | None = None,
     right_default: float | None = None,
     engine: str = "auto",
+    skew_guard: bool = True,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Merge two entries tables series-by-series.
 
@@ -108,7 +110,18 @@ def merge_series(
       used for callable ``op``; required for ``compress=False``).
     - ``"auto"`` (default) — relational for named ops when its requirements
       hold (measured faster at sf0.1, see BENCH/BASELINE.md crossover
-      note), kernel otherwise.
+      note), kernel otherwise. With ``skew_guard`` (default on), auto also
+      routes by KEY POPULATION: the side-tagged projected union is
+      materialized once (``localCheckpoint``), per-key entry counts are
+      observed from the materialized blocks, and any key above
+      ``hot_threshold`` (default ``HOT_KEY_THRESHOLD`` = 1M entries, the
+      measured crossover) merges through an auto-sized ``time_slice`` while
+      the rest keep the plain one-shuffle plan — no caller hint needed for
+      the pathological single-series case. Identical output on every route
+      (pinned). Costs one materialization of the projected input (the same
+      bytes the merge shuffle moves); set ``skew_guard=False`` to keep the
+      fully lazy plan. The guard is skipped for ops that cannot slice
+      (minus with both defaults) and when ``time_slice`` is given.
 
     ``time_slice`` (ms) is the hot-series escape hatch: one series is
     otherwise inherently sequential inside its kernel call, so a single
@@ -147,6 +160,16 @@ def merge_series(
             "(undefined, undefined) segments)"
         )
     if engine in ("relational", "auto") and relational_ok:
+        if (
+            engine == "auto" and skew_guard and time_slice is None
+            and not _needs_ranges
+        ):
+            return _merge_auto_skew(
+                left, right, key_cols, op,
+                left_default, right_default,
+                hot_threshold if hot_threshold is not None
+                else HOT_KEY_THRESHOLD,
+            )
         return merge_series_relational(
             left, right, key_cols, op=op,
             left_default=left_default, right_default=right_default,
@@ -217,7 +240,8 @@ def merge_series(
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         keys = pdf[group_cols]
         codes, uniques = pd.factorize(
-            pd.MultiIndex.from_frame(keys) if len(group_cols) > 1 else keys.iloc[:, 0]
+            pd.MultiIndex.from_frame(keys) if len(group_cols) > 1 else keys.iloc[:, 0],
+            use_na_sentinel=False,
         )
         ts = pdf["ts"].to_numpy(np.int64)
         dur = pdf["validity"].to_numpy(np.int64)
@@ -458,6 +482,14 @@ def _merge_value_expr(op, a, b, left_default, right_default):
     raise ValueError(f"unknown relational op {op!r}")
 
 
+def _tag_sides(left: DataFrame, right: DataFrame, key_cols: list[str]) -> DataFrame:
+    return left.select(
+        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
+    ).unionByName(
+        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
+    )
+
+
 def merge_series_relational(
     left: DataFrame,
     right: DataFrame,
@@ -488,7 +520,8 @@ def merge_series_relational(
     contiguous runs across slice borders — identical output, pinned by
     test. Not valid for ops that fill (undefined, undefined) segments
     (minus with both defaults): interior holes crossing borders would be
-    filled per-slice.
+    filled per-slice. ``merge_series(engine="auto")`` picks the slice
+    automatically for measured-hot keys (see ``skew_guard``).
 
     Matches ``merge_series(engine="kernel", compress=True)`` exactly; pinned
     by the randomized twin test (tests/test_relational_merge.py)."""
@@ -499,22 +532,32 @@ def merge_series_relational(
             "time_slice cannot be combined with an op that fills "
             "(undefined, undefined) segments"
         )
+    return _merge_tagged_relational(
+        _tag_sides(left, right, key_cols), key_cols, op=op,
+        left_default=left_default, right_default=right_default,
+        time_slice=time_slice,
+    )
+
+
+def _merge_tagged_relational(
+    tagged: DataFrame,
+    key_cols: list[str],
+    op: str,
+    left_default: float | None = None,
+    right_default: float | None = None,
+    time_slice: int | None = None,
+) -> DataFrame:
+    """Relational merge body over an already side-tagged union frame (the
+    skew guard feeds filtered subsets of one materialized union here)."""
     group_cols = list(key_cols)
     if time_slice is not None:
         from .series_ops import split_at_buckets
 
-        left = split_at_buckets(left, time_slice).withColumnRenamed(
-            "bucket", "_slice"
-        )
-        right = split_at_buckets(right, time_slice).withColumnRenamed(
+        # split_at_buckets carries the side tag through the explode
+        tagged = split_at_buckets(tagged, time_slice).withColumnRenamed(
             "bucket", "_slice"
         )
         group_cols = [*key_cols, "_slice"]
-    tagged = left.select(
-        *group_cols, "ts", "value", "validity", F.lit(0).alias("side")
-    ).unionByName(
-        right.select(*group_cols, "ts", "value", "validity", F.lit(1).alias("side"))
-    )
     rows, w_carry, w_sort = _boundary_rows(tagged, group_cols)
     a = _carried_value(0, w_carry)
     b = _carried_value(1, w_carry)
@@ -532,6 +575,93 @@ def merge_series_relational(
     return _rle_repair(segs, key_cols).select(
         *key_cols, "ts", "value", "validity"
     )
+
+
+# Skew-guard defaults, measured on the 4M-entry hot-series torture
+# (tools/skew_bench.py, BENCH/BASELINE.md skew table): relational-plain
+# loses to relational-sliced ~2.5x at 4M entries per key; at ~1M entries
+# the single sort task starts to dominate a 32-wide stage.
+HOT_KEY_THRESHOLD = 1_000_000
+# target entries per (key, slice) window partition for auto-sized slices:
+# enough slices to spread one hot key across a stage, coarse enough that
+# boundary duplication + RLE border repair stay negligible
+_HOT_SLICE_TARGET = 100_000
+# above this many hot keys the per-key split predicate stops being a cheap
+# broadcast filter; slice the whole merge instead (output is identical)
+_MAX_HOT_KEYS = 64
+
+
+def _hot_key_predicate(key_cols, hot_rows):
+    """OR-of-ANDs membership predicate for a small hot-key set (null-safe:
+    a null key component must still route)."""
+    import functools
+    import operator
+
+    conds = []
+    for r in hot_rows:
+        eqs = [F.col(k).eqNullSafe(F.lit(r[k])) for k in key_cols]
+        conds.append(functools.reduce(operator.and_, eqs))
+    return functools.reduce(operator.or_, conds)
+
+
+def _merge_auto_skew(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    op: str,
+    left_default: float | None,
+    right_default: float | None,
+    hot_threshold: int,
+) -> DataFrame:
+    """AQE-style skew routing for the relational merge (the north rule's
+    hot-domain mandate, BASELINE.json:14): materialize the projected
+    side-tagged union ONCE (``localCheckpoint`` — the same bytes the merge
+    shuffle was about to move anyway), observe per-key entry counts and time
+    spans from the materialized blocks, then route:
+
+    - no key above ``hot_threshold``      → the plain one-shuffle plan;
+    - a few hot keys (≤ _MAX_HOT_KEYS)    → hot keys merge sliced (width
+      sized so each (key, slice) holds ~_HOT_SLICE_TARGET entries), the
+      rest keep the plain plan, results unioned — the bulk pays zero tax;
+    - pathologically many hot keys        → slice the whole merge.
+
+    Output is identical on every route (pinned by tests); only the physical
+    window partitioning changes. The count pass reads the checkpointed
+    blocks, not the input lineage, so derivations are never recomputed —
+    callers who cannot afford the materialization set ``skew_guard=False``.
+    """
+    tagged = _tag_sides(left, right, key_cols).localCheckpoint(eager=True)
+    kw = dict(op=op, left_default=left_default, right_default=right_default)
+    hot = (
+        tagged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("ts").alias("_lo"),
+            F.max(F.col("ts") + F.col("validity")).alias("_hi"),
+        )
+        .filter(F.col("_n") > hot_threshold)
+        .limit(_MAX_HOT_KEYS + 1)
+        .collect()
+    )
+    if not hot:
+        return _merge_tagged_relational(tagged, key_cols, **kw)
+    # slice width: the finest per-hot-key width that still yields
+    # ~_HOT_SLICE_TARGET entries per slice (span * target / n), so a key
+    # packed into a day splits as surely as one spread over years
+    width = min(
+        max(1, (int(r["_hi"]) - int(r["_lo"])) * _HOT_SLICE_TARGET // int(r["_n"]))
+        for r in hot
+    )
+    if len(hot) > _MAX_HOT_KEYS:
+        return _merge_tagged_relational(
+            tagged, key_cols, time_slice=width, **kw
+        )
+    pred = _hot_key_predicate(key_cols, hot)
+    hot_part = _merge_tagged_relational(
+        tagged.filter(pred), key_cols, time_slice=width, **kw
+    )
+    rest = _merge_tagged_relational(tagged.filter(~pred), key_cols, **kw)
+    return hot_part.unionByName(rest)
 
 
 def merge_series_n_relational(
@@ -688,7 +818,8 @@ def strict_zip_series(
             return pd.DataFrame(columns=out_names)
         keys = pdf[key_cols]
         codes, uniques = pd.factorize(
-            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
+            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0],
+            use_na_sentinel=False,
         )
         ts = pdf["ts"].to_numpy(np.int64)
         dur = pdf["validity"].to_numpy(np.int64)
@@ -801,7 +932,8 @@ def merge_series_n(
             return pd.DataFrame(columns=out_names)
         keys = pdf[key_cols]
         codes, uniques = pd.factorize(
-            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0]
+            pd.MultiIndex.from_frame(keys) if len(key_cols) > 1 else keys.iloc[:, 0],
+            use_na_sentinel=False,
         )
         ts = pdf["ts"].to_numpy(np.int64)
         dur = pdf["validity"].to_numpy(np.int64)

@@ -196,7 +196,7 @@ def sliding_window_exact(
             return pd.DataFrame(columns=out_names)
         pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
                               ignore_index=True)
-        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False)
         c = codes.astype(np.int64)
         t = pdf["ts"].to_numpy(np.int64)
         v = pdf["value"].to_numpy(np.float64)
@@ -383,7 +383,7 @@ def rolling_values(
             return pd.DataFrame(columns=out_names)
         pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
                               ignore_index=True)
-        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False)
         res = kwin.rolling_grouped(
             codes.astype(np.int64),
             pdf["ts"].to_numpy(np.int64),
@@ -406,7 +406,8 @@ def rolling_values(
                 frames.append(r[out_names])
             merged = pd.concat(frames, ignore_index=True)
             codes, uniques = pd.factorize(
-                pd.MultiIndex.from_frame(merged[key_cols])
+                pd.MultiIndex.from_frame(merged[key_cols]),
+                use_na_sentinel=False,
             )
             oc = codes.astype(np.int64)
             ot = merged["ts"].to_numpy(np.int64)
@@ -731,7 +732,7 @@ def sample_closest(
             return pd.DataFrame(columns=out_names)
         pdf = pdf.sort_values([*key_cols, "ts"], kind="mergesort",
                               ignore_index=True)
-        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]))
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False)
         ts = pdf["ts"].to_numpy(np.int64)
         val = pdf["value"].to_numpy(np.float64)
         dur = pdf["validity"].to_numpy(np.int64)

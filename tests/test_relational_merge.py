@@ -181,6 +181,69 @@ def test_nan_values_match_kernel_split(spark):
     _cmp_nan(kernel, rel)
 
 
+def test_skew_guard_routes_hot_keys(spark):
+    """engine='auto' must detect a key above hot_threshold WITHOUT a caller
+    hint, merge it through an auto-sized time_slice, keep the cold keys on
+    the plain plan, and produce output identical to every manual plan."""
+    from pyspark.sql import functions as F
+
+    a, b = _mk(spark, 201), _mk(spark, 202)
+    # a synthetic hot key: 5k touching entries on each side
+    hot_a = spark.range(5000).select(
+        F.lit("hotkey").alias("user_id"), (F.col("id") * 10).alias("ts"),
+        (F.pmod(F.col("id"), F.lit(7))).cast("double").alias("value"),
+        F.lit(10).cast("long").alias("validity"),
+    )
+    hot_b = spark.range(5000).select(
+        F.lit("hotkey").alias("user_id"),
+        (F.col("id") * 10 + 3).alias("ts"),
+        (F.pmod(F.col("id"), F.lit(5))).cast("double").alias("value"),
+        F.lit(10).cast("long").alias("validity"),
+    )
+    left = a.unionByName(hot_a)
+    right = b.unionByName(hot_b)
+
+    expected = _canon(merge_series(
+        left, right, ["user_id"], op="plus", engine="kernel"
+    ))
+    # guard fires (threshold 1000 < 10k hot entries): split routing
+    routed = _canon(merge_series(
+        left, right, ["user_id"], op="plus", hot_threshold=1000
+    ))
+    assert routed == expected
+    # guard present but nothing hot: plain relational, same output
+    unrouted = _canon(merge_series(left, right, ["user_id"], op="plus"))
+    assert unrouted == expected
+    # guard off: fully lazy plain relational, same output
+    lazy = _canon(merge_series(
+        left, right, ["user_id"], op="plus", skew_guard=False
+    ))
+    assert lazy == expected
+    # the routed plan stays zero-Python
+    plan = merge_series(
+        left, right, ["user_id"], op="plus", hot_threshold=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    # null key components must route too (null-safe predicate)
+    def _canon_null(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    null_hot_a = hot_a.withColumn("user_id", F.lit(None).cast("string"))
+    null_hot_b = hot_b.withColumn("user_id", F.lit(None).cast("string"))
+    exp_null = _canon_null(merge_series(
+        a.unionByName(null_hot_a), b.unionByName(null_hot_b), ["user_id"],
+        op="plus", engine="kernel",
+    ))
+    got_null = _canon_null(merge_series(
+        a.unionByName(null_hot_a), b.unionByName(null_hot_b), ["user_id"],
+        op="plus", hot_threshold=1000,
+    ))
+    assert got_null == exp_null
+
+
 def test_auto_engine_routes_named_ops_relationally(spark):
     a, b = _mk(spark, 71), _mk(spark, 72)
     df = merge_series(a, b, ["user_id"], op="plus")  # engine="auto"

@@ -102,21 +102,32 @@ def main() -> None:
 
     # merge scenario: hot vs shifted hot (plus normals on both sides)
     shifted = entries.withColumn("ts", F.col("ts") + 37_000)
-    def merge_probe(time_slice):
-        df = merge_series(entries, shifted, keys, op="plus", time_slice=time_slice)
+    def merge_probe(time_slice=None, skew_guard=False):
+        df = merge_series(
+            entries, shifted, keys, op="plus", time_slice=time_slice,
+            skew_guard=skew_guard,
+        )
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value") * F.col("validity")).alias("wsum"),
         ).collect()[0]
         return int(row["n"]), round(float(row["wsum"]), 3)
 
-    # warm BOTH plans (they codegen differently), then best-of-2 each --
+    # warm the plans (they codegen differently), then best-of-2 each --
     # a single pass at this size swings 2x with GC alignment
-    merge_probe(None)
-    merge_probe(3_600_000 * 24)
-    t_m_def, out_m_def = timed(lambda: merge_probe(None), k=2)
-    t_m_sliced, out_m_sliced = timed(lambda: merge_probe(3_600_000 * 24), k=2)
+    merge_probe()
+    merge_probe(time_slice=3_600_000 * 24)
+    merge_probe(skew_guard=True)
+    # plain = guard off (the pre-guard relational default)
+    t_m_def, out_m_def = timed(lambda: merge_probe(), k=2)
+    t_m_sliced, out_m_sliced = timed(
+        lambda: merge_probe(time_slice=3_600_000 * 24), k=2
+    )
+    # the round-5 headline: engine="auto" with NO caller hint must detect
+    # the 4M-entry key and land within ~1.1x of the best manual plan
+    t_m_auto, out_m_auto = timed(lambda: merge_probe(skew_guard=True), k=2)
 
+    best_manual = min(t_m_def, t_m_sliced)
     print(json.dumps({
         "cores": args.cores,
         "entries_in": n_in,
@@ -130,12 +141,15 @@ def main() -> None:
             "outputs_equal": out_def == out_safe == out_split,
         },
         "merge": {
-            "default_sec": round(t_m_def, 2),
+            "plain_sec": round(t_m_def, 2),
             "time_slice_sec": round(t_m_sliced, 2),
+            "auto_guard_sec": round(t_m_auto, 2),
             "speedup": round(t_m_def / t_m_sliced, 2),
+            "auto_vs_best_manual": round(t_m_auto / best_manual, 2),
             "rows": out_m_def[0],
-            "outputs_equal": out_m_def[0] == out_m_sliced[0]
-            and abs(out_m_def[1] - out_m_sliced[1]) <= max(1e-6 * abs(out_m_def[1]), 1e-3),
+            "outputs_equal": out_m_def[0] == out_m_sliced[0] == out_m_auto[0]
+            and abs(out_m_def[1] - out_m_sliced[1]) <= max(1e-6 * abs(out_m_def[1]), 1e-3)
+            and abs(out_m_def[1] - out_m_auto[1]) <= max(1e-6 * abs(out_m_def[1]), 1e-3),
         },
     }))
     spark.stop()
