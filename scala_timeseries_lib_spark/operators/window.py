@@ -111,6 +111,7 @@ def sliding_window_exact(
     use_closest: bool = True,
     timeunit: str = "ms",
     compress: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Reference-exact slidingWindow / slidingIntegral per series
     (TimeSeries.scala:412-443). One shuffle on the key.
@@ -130,9 +131,36 @@ def sliding_window_exact(
     vectorized sums differ from the incremental sweep at ~1e-13 relative
     (prefix-difference vs add/drop rounding), and std inflates true-zero
     variances to ~1e-7 -- round before comparing across paths/engines.
+
+    ``engine="relational"`` opts sum/mean into the zero-Python twin
+    (:func:`sliding_window_exact_relational`, boundary-union + running
+    carries — bit-identical to the SEQUENTIAL sweep's accumulation order).
+    ``"auto"`` routes by MEASUREMENT (BENCH/BASELINE.md exact-sweep
+    crossover row): the un-resampled ``sum`` sweep goes relational (2.5×
+    the kernel at sf0.1 — the sweep is pure boundary algebra, Catalyst's
+    home turf); resampled aggs stay on the kernel (the dense resample grid
+    is numpy's home turf, same verdict as sample_closest).
     """
     import numpy as np
     import pandas as pd
+
+    if engine not in ("auto", "kernel", "relational"):
+        raise ValueError(f"unknown engine {engine!r}")
+    relational_ok = agg in ("sum", "mean") and (
+        sample_rate is None or use_closest
+    ) and not (agg == "mean" and sample_rate is None)
+    if engine == "relational" and not relational_ok:
+        raise ValueError(
+            "engine='relational' supports agg in (sum, mean) with "
+            "closest-in-window resampling only (mean needs a sample_rate)"
+        )
+    if engine == "relational" or (
+        engine == "auto" and agg == "sum" and sample_rate is None
+    ):
+        return sliding_window_exact_relational(
+            df, key_cols, window_width, agg,
+            sample_rate=sample_rate, compress=compress,
+        )
 
     from ..kernel import window as kwin
     from ..kernel.fitter import fit, fit_arrays_grouped
@@ -238,6 +266,113 @@ def sliding_window_exact(
         )[out_names]
 
     return apply_per_bucket(df, key_cols, _sweep_bucket, out_schema)
+
+
+def sliding_window_exact_relational(
+    df: DataFrame,
+    key_cols: list[str],
+    window_width: int,
+    agg: str,
+    sample_rate: int | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Pure-Catalyst exact sliding sweep (WindowSlider.scala:114-269) for
+    the decomposable aggregators ``sum`` and ``mean`` — zero Python stages.
+
+    The sweep's emission boundaries are exactly the union of ADD events
+    (every entry ``ts``) and DROP events (every ``ts + validity + width``,
+    where the entry leaves the trailing window): between consecutive events
+    the window contents are constant. So the sweep is one boundary-union +
+    running-carry plan, like the relational merge: explode each entry into
+    a signed add row and a signed drop row, ONE per-key window sort by
+    ``(p, ord)`` with drops ordered BEFORE adds at ties (the kernel
+    retracts before adding — same float accumulation order, bit-identical
+    sums), running-sum the signed contributions, keep the last row of each
+    tie group via the ``lead(p) > p`` filter, and clip segments to the
+    sweep domain ``[min ts, max until)``. For ``sum`` an empty window
+    correctly emits 0.0 (the running sum of a fully retracted prefix); for
+    ``mean`` (time-aware: requires ``sample_rate``, closest-in-window
+    resample via :func:`sample_closest_relational`) an empty window is a
+    hole (``sum(validity) = 0``). NaN values surface as null, matching the
+    kernel twin's NaN across the Arrow boundary.
+
+    Matches ``sliding_window_exact(engine="kernel")`` exactly (twin-tested,
+    tests/test_relational_merge.py); crossover vs the vectorized kernel is
+    measured in BENCH/BASELINE.md and sets the ``auto`` default."""
+    from .merge import _rle_repair
+
+    if window_width <= 0:
+        raise ValueError("Needs a strictly positive window size")
+    if agg not in ("sum", "mean"):
+        raise ValueError(
+            f"relational exact sweep supports sum|mean, got {agg!r}"
+        )
+    if agg == "mean" and sample_rate is None:
+        raise ValueError("time-aware aggregators require a sample_rate")
+    if sample_rate is not None:
+        df = sample_closest_relational(
+            df, key_cols, sample_rate, compress=False
+        )
+
+    w_key = Window.partitionBy(*key_cols)
+    ent = df.select(*key_cols, "ts", "value", "validity").withColumn(
+        "_maxu", F.max(F.col("ts") + F.col("validity")).over(w_key)
+    )
+    if agg == "sum":
+        x = F.col("value")
+        d = F.lit(0).cast("long")
+    else:
+        x = F.col("value") * F.col("validity")
+        d = F.col("validity")
+    add = F.struct(
+        F.col("ts").alias("p"), F.lit(1).alias("ord"),
+        x.alias("x"), d.alias("d"),
+    )
+    drop = F.struct(
+        (F.col("ts") + F.col("validity") + F.lit(window_width)).alias("p"),
+        F.lit(0).alias("ord"),
+        (-x).alias("x"), (-d).alias("d"),
+    )
+    ev = ent.select(
+        *key_cols, "_maxu", F.explode(F.array(add, drop)).alias("e")
+    ).select(
+        *key_cols, "_maxu",
+        F.col("e.p").alias("p"), F.col("e.ord").alias("ord"),
+        F.col("e.x").alias("x"), F.col("e.d").alias("d"),
+    )
+    w_sort = Window.partitionBy(*key_cols).orderBy("p", "ord")
+    w_run = w_sort.rowsBetween(Window.unboundedPreceding, 0)
+    segs = (
+        ev.select(
+            *key_cols, "_maxu", "p",
+            F.sum("x").over(w_run).alias("sx"),
+            F.sum("d").over(w_run).alias("sd"),
+            F.lead("p").over(w_sort).alias("np"),
+        )
+        .where(F.col("np").isNull() | (F.col("np") > F.col("p")))
+        .where(F.col("p") < F.col("_maxu"))
+    )
+    value = (
+        F.col("sx") if agg == "sum"
+        else F.when(F.col("sd") > 0, F.col("sx") / F.col("sd"))
+    )
+    out = segs.select(
+        *key_cols,
+        F.col("p").alias("ts"),
+        value.alias("value"),
+        (F.least(F.coalesce(F.col("np"), F.col("_maxu")), F.col("_maxu"))
+         - F.col("p")).alias("validity"),
+    ).where(F.col("validity") > 0)
+    if agg == "mean":
+        out = out.where(F.col("value").isNotNull())
+    if compress:
+        out = _rle_repair(out, key_cols)
+    # NaN sums surface as null, like the kernel's NaN across Arrow
+    return out.select(
+        *key_cols, "ts",
+        F.when(~F.isnan("value"), F.col("value")).alias("value"),
+        "validity",
+    )
 
 
 def rolling_values_relational(

@@ -363,6 +363,95 @@ def test_sample_closest_relational_matches_kernel(spark):
     assert "FlatMapGroupsInPandas" in auto_plan
 
 
+def test_sliding_exact_relational_matches_sequential(spark):
+    """The zero-Python exact-sweep twin must reproduce the SEQUENTIAL
+    sweep's accumulation bit-for-bit (drops retract before adds at each
+    cursor, same float order), for sum over raw holey entries and mean
+    over the closest-in-window resampled grid."""
+    from scala_timeseries_lib_spark.kernel import window as kwin
+    from scala_timeseries_lib_spark.kernel.fitter import fit
+    from scala_timeseries_lib_spark.operators.window import (
+        sliding_window_exact,
+    )
+
+    df = _mk(spark, 301, n_keys=8, max_entries=50)
+    width = 60
+
+    def seq_ref(agg_factory, sample_rate=None):
+        per_key = {}
+        for r in df.collect():
+            per_key.setdefault(r["user_id"], []).append(
+                (r["ts"], r["value"], r["validity"])
+            )
+        out = []
+        for key, entries in per_key.items():
+            entries.sort()
+            emitted = []
+            for (ts, _c, validity), a in kwin.window_sweep(
+                entries, width, agg_factory(), sample_rate, True
+            ):
+                if a is not None:
+                    emitted.append((ts, float(a), validity))
+            for ts, v, d in fit(emitted, compress=True):
+                out.append((key, ts, v, d))
+        return sorted(out)
+
+    for agg, factory, rate in (
+        ("sum", kwin.SumAggregator, None),
+        ("mean", kwin.MeanAggregator, 20),
+    ):
+        rel = _canon(sliding_window_exact(
+            df, ["user_id"], width, agg,
+            sample_rate=rate, engine="relational", compress=True,
+        ))
+        assert rel == seq_ref(factory, rate), agg
+        assert len(rel) > 50
+        # compress=False twin too (every emission, no RLE)
+        rel_raw = _canon(sliding_window_exact(
+            df, ["user_id"], width, agg,
+            sample_rate=rate, engine="relational", compress=False,
+        ))
+        assert len(rel_raw) >= len(rel)
+    # the relational plan is zero-Python; auto stays on the kernel
+    plan = sliding_window_exact(
+        df, ["user_id"], width, "sum", engine="relational"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    with pytest.raises(ValueError):
+        sliding_window_exact(
+            df, ["user_id"], width, "median", engine="relational"
+        )
+
+
+def test_sliding_exact_relational_matches_kernel_rounded(spark):
+    """Vs the VECTORIZED kernel engine: identical up to the documented
+    ~1e-13 prefix-difference float divergence (compare at 9 decimals,
+    same rounding the oracle queries apply)."""
+    from scala_timeseries_lib_spark.operators.window import (
+        sliding_window_exact,
+    )
+
+    df = _mk(spark, 311, n_keys=6, max_entries=40)
+
+    def rounded(rows):
+        return sorted(
+            (r[0], r[1], round(r[2], 9), r[3]) for r in rows
+        )
+
+    for agg, rate in (("sum", None), ("mean", 25)):
+        kernel = rounded(_canon(sliding_window_exact(
+            df, ["user_id"], 80, agg, sample_rate=rate, engine="kernel",
+            compress=False,
+        )))
+        rel = rounded(_canon(sliding_window_exact(
+            df, ["user_id"], 80, agg, sample_rate=rate,
+            engine="relational", compress=False,
+        )))
+        assert kernel == rel, agg
+        assert len(kernel) > 50
+
+
 def test_relational_stress_high_entropy(spark):
     """One wide adversarial batch instead of per-example fuzzing (a Spark
     round per hypothesis example would be minutes): 40 keys mixing dense
