@@ -604,20 +604,17 @@ def _hot_key_predicate(key_cols, hot_rows):
     return functools.reduce(operator.or_, conds)
 
 
-def _merge_auto_skew(
-    left: DataFrame,
-    right: DataFrame,
+def _route_hot_keys(
+    tagged: DataFrame,
     key_cols: list[str],
-    op: str,
-    left_default: float | None,
-    right_default: float | None,
+    merge_fn,
     hot_threshold: int,
 ) -> DataFrame:
-    """AQE-style skew routing for the relational merge (the north rule's
-    hot-domain mandate, BASELINE.json:14): materialize the projected
-    side-tagged union ONCE (``localCheckpoint`` — the same bytes the merge
-    shuffle was about to move anyway), observe per-key entry counts and time
-    spans from the materialized blocks, then route:
+    """AQE-style skew routing shared by the whole relational merge family
+    (the north rule's hot-domain mandate, BASELINE.json:14): materialize
+    the projected side-tagged union ONCE (``localCheckpoint`` — the same
+    bytes the merge shuffle was about to move anyway), observe per-key
+    entry counts and time spans from the materialized blocks, then route:
 
     - no key above ``hot_threshold``      → the plain one-shuffle plan;
     - a few hot keys (≤ _MAX_HOT_KEYS)    → hot keys merge sliced (width
@@ -625,13 +622,13 @@ def _merge_auto_skew(
       rest keep the plain plan, results unioned — the bulk pays zero tax;
     - pathologically many hot keys        → slice the whole merge.
 
+    ``merge_fn(tagged_subset, time_slice_or_None)`` builds the engine plan.
     Output is identical on every route (pinned by tests); only the physical
     window partitioning changes. The count pass reads the checkpointed
     blocks, not the input lineage, so derivations are never recomputed —
     callers who cannot afford the materialization set ``skew_guard=False``.
     """
-    tagged = _tag_sides(left, right, key_cols).localCheckpoint(eager=True)
-    kw = dict(op=op, left_default=left_default, right_default=right_default)
+    tagged = tagged.localCheckpoint(eager=True)
     hot = (
         tagged.groupBy(*key_cols)
         .agg(
@@ -644,7 +641,7 @@ def _merge_auto_skew(
         .collect()
     )
     if not hot:
-        return _merge_tagged_relational(tagged, key_cols, **kw)
+        return merge_fn(tagged, None)
     # slice width: the finest per-hot-key width that still yields
     # ~_HOT_SLICE_TARGET entries per slice (span * target / n), so a key
     # packed into a day splits as surely as one spread over years
@@ -653,33 +650,78 @@ def _merge_auto_skew(
         for r in hot
     )
     if len(hot) > _MAX_HOT_KEYS:
-        return _merge_tagged_relational(
-            tagged, key_cols, time_slice=width, **kw
-        )
+        return merge_fn(tagged, width)
     pred = _hot_key_predicate(key_cols, hot)
-    hot_part = _merge_tagged_relational(
-        tagged.filter(pred), key_cols, time_slice=width, **kw
+    return merge_fn(tagged.filter(pred), width).unionByName(
+        merge_fn(tagged.filter(~pred), None)
     )
-    rest = _merge_tagged_relational(tagged.filter(~pred), key_cols, **kw)
-    return hot_part.unionByName(rest)
 
 
-def merge_series_n_relational(
-    dfs: list[DataFrame],
+def _merge_auto_skew(
+    left: DataFrame,
+    right: DataFrame,
     key_cols: list[str],
-    op: str = "plus",
+    op: str,
+    left_default: float | None,
+    right_default: float | None,
+    hot_threshold: int,
 ) -> DataFrame:
-    """Pure-Catalyst k-ary merge (``plus`` / ``plus_strict``), same
-    single-sort shape as the binary relational merge with one carry per
-    side."""
-    n_sides = len(dfs)
+    """Skew routing for the binary relational merge — see _route_hot_keys."""
+    return _route_hot_keys(
+        _tag_sides(left, right, key_cols),
+        key_cols,
+        lambda t, ts: _merge_tagged_relational(
+            t, key_cols, op=op, left_default=left_default,
+            right_default=right_default, time_slice=ts,
+        ),
+        hot_threshold,
+    )
+
+
+def _tag_sides_n(dfs: list[DataFrame], key_cols: list[str]) -> DataFrame:
     tagged = None
     for i, df in enumerate(dfs):
         part = df.select(
             *key_cols, "ts", "value", "validity", F.lit(i).alias("side")
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    return tagged
+
+
+def merge_series_n_relational(
+    dfs: list[DataFrame],
+    key_cols: list[str],
+    op: str = "plus",
+    time_slice: int | None = None,
+) -> DataFrame:
+    """Pure-Catalyst k-ary merge (``plus`` / ``plus_strict``), same
+    single-sort shape as the binary relational merge with one carry per
+    side. ``time_slice`` is the same hot-key escape as the binary engine
+    (per-(key, slice) window partitions, per-key RLE border repair —
+    identical output, pinned); the n-ary ops are hole-safe to slice (no
+    value on all-undefined segments)."""
+    return _merge_n_tagged_relational(
+        _tag_sides_n(dfs, key_cols), key_cols, len(dfs), op=op,
+        time_slice=time_slice,
+    )
+
+
+def _merge_n_tagged_relational(
+    tagged: DataFrame,
+    key_cols: list[str],
+    n_sides: int,
+    op: str,
+    time_slice: int | None = None,
+) -> DataFrame:
+    group_cols = list(key_cols)
+    if time_slice is not None:
+        from .series_ops import split_at_buckets
+
+        tagged = split_at_buckets(tagged, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        group_cols = [*key_cols, "_slice"]
+    rows, w_carry, w_sort = _boundary_rows(tagged, group_cols)
     vals = [_carried_value(i, w_carry) for i in range(n_sides)]
     total = None
     for v in vals:
@@ -696,12 +738,14 @@ def merge_series_n_relational(
     else:
         raise ValueError(f"unknown n-ary relational op {op!r}")
     segs = rows.select(
-        *key_cols,
+        *group_cols,
         F.col("p").alias("ts"),
         (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
         value.alias("value"),
     ).where(F.col("validity").isNotNull() & (F.col("validity") > 0)
             & F.col("value").isNotNull())
+    if time_slice is not None:
+        segs = segs.drop("_slice")
     # NaN sums stay (split by the islands' NaN break) but surface as null,
     # exactly like the kernel twin's NaN does across the Arrow boundary
     return _rle_repair(segs, key_cols).select(
@@ -715,22 +759,37 @@ def strict_zip_series_relational(
     left: DataFrame,
     right: DataFrame,
     key_cols: list[str],
+    time_slice: int | None = None,
 ) -> DataFrame:
     """Pure-Catalyst strictZip (TimeSeries.scala:335): segments where BOTH
     sides are defined, values carried as a pair; RLE merges contiguous runs
-    equal on BOTH values."""
+    equal on BOTH values. ``time_slice`` = the hot-key escape (identical
+    output, per-key pair-RLE repairs the borders)."""
+    return _zip_tagged_relational(
+        _tag_sides(left, right, key_cols), key_cols, time_slice=time_slice
+    )
+
+
+def _zip_tagged_relational(
+    tagged: DataFrame,
+    key_cols: list[str],
+    time_slice: int | None = None,
+) -> DataFrame:
     from pyspark.sql import Window
 
-    tagged = left.select(
-        *key_cols, "ts", "value", "validity", F.lit(0).alias("side")
-    ).unionByName(
-        right.select(*key_cols, "ts", "value", "validity", F.lit(1).alias("side"))
-    )
-    rows, w_carry, w_sort = _boundary_rows(tagged, key_cols)
+    group_cols = list(key_cols)
+    if time_slice is not None:
+        from .series_ops import split_at_buckets
+
+        tagged = split_at_buckets(tagged, time_slice).withColumnRenamed(
+            "bucket", "_slice"
+        )
+        group_cols = [*key_cols, "_slice"]
+    rows, w_carry, w_sort = _boundary_rows(tagged, group_cols)
     a = _carried_value(0, w_carry)
     b = _carried_value(1, w_carry)
     segs = rows.select(
-        *key_cols,
+        *group_cols,
         F.col("p").alias("ts"),
         (F.lead("p").over(w_sort) - F.col("p")).alias("validity"),
         a.alias("a_value"),
@@ -739,6 +798,8 @@ def strict_zip_series_relational(
         F.col("validity").isNotNull() & (F.col("validity") > 0)
         & F.col("a_value").isNotNull() & F.col("b_value").isNotNull()
     )
+    if time_slice is not None:
+        segs = segs.drop("_slice")
     # gaps-and-islands on the value PAIR
     w = Window.partitionBy(*key_cols).orderBy("ts")
     prev_end = F.lag(F.col("ts") + F.col("validity")).over(w)
@@ -782,17 +843,28 @@ def strict_zip_series(
     key_cols: list[str],
     compress: bool = True,
     engine: str = "auto",
+    skew_guard: bool = True,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """strictZip (TimeSeries.scala:335): tuple-valued segments where BOTH
     series are defined. Output: key cols + ts, a_value, b_value, validity.
     ``engine="auto"`` routes compressed zips through the pure-Catalyst path
-    (strict_zip_series_relational); ``"kernel"`` forces the offset-packed
-    single-call bucket kernel (required for ``compress=False``)."""
+    (strict_zip_series_relational) with the same automatic hot-key routing
+    as ``merge_series`` (``skew_guard``, _route_hot_keys); ``"kernel"``
+    forces the offset-packed single-call bucket kernel (required for
+    ``compress=False``)."""
     if engine not in ("auto", "kernel", "relational"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "relational" and not compress:
         raise ValueError("engine='relational' requires compress=True")
     if engine in ("auto", "relational") and compress:
+        if engine == "auto" and skew_guard:
+            return _route_hot_keys(
+                _tag_sides(left, right, key_cols), key_cols,
+                lambda t, ts: _zip_tagged_relational(t, key_cols, time_slice=ts),
+                hot_threshold if hot_threshold is not None
+                else HOT_KEY_THRESHOLD,
+            )
         return strict_zip_series_relational(left, right, key_cols)
     import numpy as np
     import pandas as pd
@@ -888,6 +960,8 @@ def merge_series_n(
     op: str = "plus",
     compress: bool = True,
     engine: str = "auto",
+    skew_guard: bool = True,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """K-ary interval merge (TimeSeriesMerger.scala:64-79 generalized):
     merge k entries tables series-by-series in one pass over the boundary
@@ -898,13 +972,25 @@ def merge_series_n(
     (defined only where all k sides are). One shuffle total: all sides are
     unioned with a side tag and grouped once. ``engine="auto"`` routes
     compressed merges through the pure-Catalyst path
-    (merge_series_n_relational); ``"kernel"`` forces the Arrow kernel.
+    (merge_series_n_relational) with the same automatic hot-key routing as
+    ``merge_series`` (``skew_guard``, _route_hot_keys); ``"kernel"``
+    forces the Arrow kernel.
     """
     if engine not in ("auto", "kernel", "relational"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "relational" and not compress:
         raise ValueError("engine='relational' requires compress=True")
     if engine in ("auto", "relational") and compress:
+        n_sides = len(dfs)
+        if engine == "auto" and skew_guard:
+            return _route_hot_keys(
+                _tag_sides_n(dfs, key_cols), key_cols,
+                lambda t, ts: _merge_n_tagged_relational(
+                    t, key_cols, n_sides, op=op, time_slice=ts
+                ),
+                hot_threshold if hot_threshold is not None
+                else HOT_KEY_THRESHOLD,
+            )
         return merge_series_n_relational(dfs, key_cols, op=op)
     import numpy as np
     import pandas as pd

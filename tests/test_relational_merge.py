@@ -244,6 +244,43 @@ def test_skew_guard_routes_hot_keys(spark):
     assert got_null == exp_null
 
 
+def test_n_ary_and_zip_time_slice_and_guard(spark):
+    """The hot-key escape generalizes to the whole merge family: n-ary and
+    strict-zip sliced outputs equal the plain plans, and the auto guard
+    routes a synthetic hot key with no caller hint."""
+    from pyspark.sql import functions as F
+
+    sides = [_mk(spark, s) for s in (221, 222, 223)]
+    for op in ("plus", "plus_strict"):
+        base = _canon(merge_series_n_relational(sides, ["user_id"], op=op))
+        sliced = _canon(merge_series_n_relational(
+            sides, ["user_id"], op=op, time_slice=41
+        ))
+        assert base == sliced, op
+        assert len(base) > 0
+    a, b = _mk(spark, 231), _mk(spark, 232)
+    zbase = _canon(strict_zip_series_relational(a, b, ["user_id"]))
+    zsliced = _canon(strict_zip_series_relational(
+        a, b, ["user_id"], time_slice=53
+    ))
+    assert zbase == zsliced
+    assert len(zbase) > 0
+
+    hot = spark.range(4000).select(
+        F.lit("hotkey").alias("user_id"), (F.col("id") * 10).alias("ts"),
+        (F.pmod(F.col("id"), F.lit(7))).cast("double").alias("value"),
+        F.lit(10).cast("long").alias("validity"),
+    )
+    hs = [s.unionByName(hot) for s in sides]
+    exp = _canon(merge_series_n(hs, ["user_id"], op="plus", engine="kernel"))
+    got = _canon(merge_series_n(hs, ["user_id"], op="plus", hot_threshold=1000))
+    assert got == exp
+    za, zb = a.unionByName(hot), b.unionByName(hot)
+    zexp = _canon(strict_zip_series(za, zb, ["user_id"], engine="kernel"))
+    zgot = _canon(strict_zip_series(za, zb, ["user_id"], hot_threshold=1000))
+    assert zgot == zexp
+
+
 def test_auto_engine_routes_named_ops_relationally(spark):
     a, b = _mk(spark, 71), _mk(spark, 72)
     df = merge_series(a, b, ["user_id"], op="plus")  # engine="auto"
