@@ -242,6 +242,7 @@ def ann_ivf_topk(
     n_probe: int = 2,
     round_to: int = 4,
     train_iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only candidates whose centroid is among
     the query's ``n_probe`` closest centroids. The candidate join is an
@@ -252,7 +253,12 @@ def ann_ivf_topk(
     k-means (:func:`ivf_train_kmeans`) for the coarse quantizer; assignment
     and probe selection then use the quantized cosine against the trained
     centroids (recall vs brute force measured in BENCH/BASELINE.md).
-    ``train_iters=0`` keeps the untrained identity-pick quantizer."""
+    ``train_iters=0`` keeps the untrained identity-pick quantizer.
+
+    At scale, build the index ONCE: pass ``centroids`` (the persisted
+    output of :func:`ivf_train_kmeans`, ``(centroid, c_emb array<long>)``)
+    and no training runs at query time — the standard index-build / query
+    split."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -260,7 +266,10 @@ def ann_ivf_topk(
         _to_double(F.col("embedding")).alias("emb"),
         _quantized(F.col("embedding")).alias("q"),
     )
-    if train_iters > 0:
+    if centroids is not None:
+        cents = F.broadcast(centroids)
+        csim_base = eps_floor(_cos_int(F.col("q"), F.col("c_emb")), 6)
+    elif train_iters > 0:
         cents = F.broadcast(ivf_train_kmeans(df, n_centroids, train_iters))
         csim_base = eps_floor(_cos_int(F.col("q"), F.col("c_emb")), 6)
     else:
@@ -289,7 +298,7 @@ def ann_ivf_topk(
         F.col("emb").alias("q_emb"),
         F.col("q").alias("q_q"),
     )
-    if train_iters > 0:
+    if centroids is not None or train_iters > 0:
         q_csim = eps_floor(_cos_int(F.col("q_q"), F.col("c_emb")), 6)
     else:
         q_csim = eps_floor(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6)

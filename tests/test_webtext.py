@@ -348,3 +348,26 @@ def test_corpus_dedup_job_lineage_hot_buckets(spark, tmp_path):
     )
     assert lineage_clean["n_hot_buckets"] == 0
     assert lineage_clean["n_star_pairs"] == 0
+
+
+def test_ivf_precomputed_centroids_equal_inline_training(spark):
+    """Index-build/query split: passing ivf_train_kmeans output as
+    ``centroids`` must reproduce the inline-trained query exactly (no
+    training at query time)."""
+    from scala_timeseries_lib_spark.functions.similarity import (
+        ann_ivf_topk,
+        ivf_train_kmeans,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(8))
+    inline = sorted(
+        tuple(r) for r in ann_ivf_topk(embs, qids, k=3).collect()
+    )
+    cents = ivf_train_kmeans(embs, n_centroids=8, n_iters=3)
+    pre = sorted(
+        tuple(r)
+        for r in ann_ivf_topk(embs, qids, k=3, centroids=cents).collect()
+    )
+    assert inline == pre
+    assert len(inline) > 0
