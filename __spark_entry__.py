@@ -811,6 +811,26 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(_embs(spark, sf_dir), query_ids=list(range(8)), k=3)
 
 
+def _q_ivf_centroids(spark, sf_dir):
+    """The trained IVF coarse quantizer ITSELF, pinned component-wise:
+    3 Lloyd iterations of exact-integer spherical k-means
+    (similarity.ivf_train_kmeans) — every centroid component is an
+    associative int64 sum of fixed-point member embeddings, so the DuckDB
+    oracle (the same iterations unrolled in SQL) matches bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from scala_timeseries_lib_spark.functions.similarity import (
+        ivf_train_kmeans,
+    )
+
+    cents = ivf_train_kmeans(_embs(spark, sf_dir), n_centroids=8, n_iters=3)
+    return cents.select(
+        "centroid", F.posexplode("c_emb").alias("dim", "component")
+    ).select(
+        "centroid", (F.col("dim") + 1).alias("dim"), "component"
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     from scala_timeseries_lib_spark.functions.similarity import (
         embedding_neardup_pairs,
@@ -970,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": _q_lsh_buckets,
         "sim_ann_lsh_topk": _q_ann_lsh,
         "sim_ann_ivf_topk": _q_ann_ivf,
+        "sim_ivf_centroids": _q_ivf_centroids,
         "mm_binary_meta": _q_mm_meta,
         "mm_frame_sample": _q_mm_frames,
         "mm_features": _q_mm_features,
@@ -2254,6 +2275,16 @@ SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= 3
 """,
         "sim_ann_ivf_topk": ivf_trained_sql,
+        "sim_ivf_centroids": f"""
+WITH {ivf_cte_block}
+SELECT centroid, CAST(u.dim AS INT) AS dim,
+       CAST(u.component AS BIGINT) AS component
+FROM (
+    SELECT centroid, UNNEST(c_emb) AS component,
+           generate_subscripts(c_emb, 1) AS dim
+    FROM {ivf_final}
+) u
+""",
         "dedup_emb_cosine": f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 proj AS (

@@ -29,6 +29,7 @@ __all__ = [
     "merge_series_n_relational",
     "strict_zip_series_relational",
     "NUMERIC_OPS",
+    "HOT_KEY_THRESHOLD",
 ]
 
 NUMERIC_OPS = (

@@ -22,11 +22,13 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 __all__ = [
     "sliding_grid_agg",
     "sliding_window_exact",
+    "sliding_window_exact_relational",
     "rolling_values",
     "rolling_values_relational",
     "dynamic_window_exact",
     "dynamic_window_relational",
     "sample_closest",
+    "sample_closest_relational",
 ]
 
 

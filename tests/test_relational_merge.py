@@ -533,3 +533,34 @@ def test_relational_stress_high_entropy(spark):
         rel = _canon(merge_series_relational(a, b, ["user_id"], op=op, **kw))
         assert kernel == rel, op
         assert len(kernel) > 100
+
+    # same adversarial batch through the relational exact sweep vs the
+    # sequential kernel (negative timestamps, dense RLE chains, huge
+    # magnitudes, singleton series — bit-exact, both widths)
+    from scala_timeseries_lib_spark.kernel import window as kwin
+    from scala_timeseries_lib_spark.kernel.fitter import fit
+    from scala_timeseries_lib_spark.operators.window import (
+        sliding_window_exact,
+    )
+
+    per_key = {}
+    for key, ts, v, dur in rows_a:
+        per_key.setdefault(key, []).append((ts, v, dur))
+    for width in (7, 100_000):
+        expected = []
+        for key, entries in per_key.items():
+            entries.sort()
+            emitted = [
+                (ts, float(agg), dur)
+                for (ts, _c, dur), agg in kwin.window_sweep(
+                    entries, width, kwin.SumAggregator()
+                )
+                if agg is not None
+            ]
+            for ts, v, d in fit(emitted, compress=True):
+                expected.append((key, ts, v, d))
+        got = _canon(sliding_window_exact(
+            a, ["user_id"], width, "sum", engine="relational",
+        ))
+        assert got == sorted(expected), width
+        assert len(got) > 1000
