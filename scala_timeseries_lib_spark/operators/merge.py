@@ -628,6 +628,10 @@ def _route_hot_keys(
     window partitioning changes. The count pass reads the checkpointed
     blocks, not the input lineage, so derivations are never recomputed —
     callers who cannot afford the materialization set ``skew_guard=False``.
+    (Measured alternative: ``persist()`` + letting the count job
+    materialize the cache saves one job but scans slower — 1.53× vs the
+    checkpoint's 1.38× premium on the sf0.1 merge shape — so the eager
+    local checkpoint stays.)
     """
     tagged = tagged.localCheckpoint(eager=True)
     hot = (
