@@ -193,3 +193,8 @@ def test_encode_plan_shape(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
+    # web-vocab escape: no broadcast hint, AQE picks the join, same rows
+    no_bc = bpe_encode_stats(df, BPE_FIXTURE_MERGES, broadcast_vocab=False)
+    assert sorted(map(tuple, no_bc.collect())) == sorted(
+        map(tuple, bpe_encode_stats(df, BPE_FIXTURE_MERGES).collect())
+    )
