@@ -525,6 +525,49 @@ def _q_rolling_sum(spark, sf_dir):
     return _rle_repair(_round5(out), KEYS)
 
 
+def _q_stream_merge_prefix(spark, sf_dir):
+    """The STREAMING interval merge (streaming.structured.stream_merge_series
+    — the reference's StreamMerger.scala:3-58 is commented-out, unfinished;
+    this one works), driven end-to-end: the click/view entry sides are
+    staged as file sources, merged with one availableNow trigger, and the
+    emitted rows read back. The oracle is pure SQL: the batch merge
+    restricted to the STABLE PREFIX — segments ending strictly below the
+    joint frontier min(max click end, max view end) per key, which is
+    exactly what the frontier emission rule finalizes after one delivery."""
+    import shutil
+    import tempfile
+
+    from scala_timeseries_lib_spark.streaming.structured import (
+        stream_merge_series,
+    )
+
+    a, b = _ab(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_merge_prefix_")
+    try:
+        # one file per side => one micro-batch, so per-key in-order
+        # delivery holds trivially
+        a.coalesce(1).write.mode("overwrite").parquet(tmp + "/l")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp + "/r")
+        left = spark.readStream.schema(a.schema).parquet(tmp + "/l")
+        right = spark.readStream.schema(b.schema).parquet(tmp + "/r")
+        merged = stream_merge_series(left, right, ["user_id"], op="plus")
+        q = (
+            merged.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", tmp + "/out")
+            .option("checkpointLocation", tmp + "/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(tmp + "/out")
+        # materialize before the temp dir goes away
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
 def _q_merge_minus(spark, sf_dir):
     from scala_timeseries_lib_spark.operators.merge import merge_series
 
@@ -1005,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1d_from_1h": _q_rollup_1d_from_1h,
         "ts_sample_10m": _q_sample_10m,
         "ts_merge_plus": _q_merge_plus,
+        "ts_stream_merge_prefix": _q_stream_merge_prefix,
         "ts_merge_strict_plus": _q_merge_strict_plus,
         "ts_fallback": _q_fallback,
         "ts_sliding_integral_1h": _q_sliding_integral_1h,
@@ -1433,6 +1477,32 @@ JOIN entries e ON e.user_id = g.user_id AND e.event_type = g.event_type
             "WHEN a_val IS NOT NULL THEN a_val ELSE b_val END",
             "a_val IS NOT NULL OR b_val IS NOT NULL",
         ),
+        # the streaming merge after ONE availableNow delivery = the batch
+        # merge restricted to segments ending strictly below the per-key
+        # joint frontier min(max click end, max view end)
+        "ts_stream_merge_prefix": ENTRIES_CTE
+        + f""",
+fr AS (
+    SELECT user_id,
+           LEAST(MAX(CASE WHEN event_type = 'click' THEN ts + validity END),
+                 MAX(CASE WHEN event_type = 'view' THEN ts + validity END))
+               AS frontier
+    FROM entries
+    GROUP BY user_id
+    HAVING MAX(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+       AND MAX(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+),
+m AS (
+    SELECT * FROM ({_merge_sql(
+        "CASE WHEN a_val IS NOT NULL AND b_val IS NOT NULL THEN a_val + b_val "
+        "WHEN a_val IS NOT NULL THEN a_val ELSE b_val END",
+        "a_val IS NOT NULL OR b_val IS NOT NULL",
+    )})
+)
+SELECT m.user_id, m.ts, m.value, m.validity
+FROM m JOIN fr USING (user_id)
+WHERE m.ts + m.validity < fr.frontier
+""",
         "ts_merge_strict_plus": _merge_sql(
             "a_val + b_val", "a_val IS NOT NULL AND b_val IS NOT NULL"
         ),
