@@ -85,6 +85,10 @@ def test_relational_empty_side(spark):
     kernel = _canon(merge_series(a, empty, ["user_id"], op="plus", engine="kernel"))
     assert rel == kernel
     assert _canon(merge_series_relational(a, empty, ["user_id"], op="plus_strict")) == []
+    # the auto skew guard must survive empty/one-sided inputs (checkpoint
+    # + count over zero rows) and match the plain plan
+    assert _canon(merge_series(a, empty, ["user_id"], op="plus")) == kernel
+    assert _canon(merge_series(empty, empty, ["user_id"], op="plus")) == []
 
 
 def test_relational_touching_entries_same_instant(spark):
