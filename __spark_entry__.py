@@ -541,25 +541,51 @@ def _q_stream_merge_prefix(spark, sf_dir):
         stream_merge_series,
     )
 
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     a, b = _ab(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="stream_merge_prefix_")
-    try:
-        # one file per side => one micro-batch, so per-key in-order
-        # delivery holds trivially
-        a.coalesce(1).write.mode("overwrite").parquet(tmp + "/l")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp + "/r")
-        left = spark.readStream.schema(a.schema).parquet(tmp + "/l")
-        right = spark.readStream.schema(b.schema).parquet(tmp + "/r")
-        merged = stream_merge_series(left, right, ["user_id"], op="plus")
-        q = (
-            merged.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", tmp + "/out")
-            .option("checkpointLocation", tmp + "/ck")
-            .trigger(availableNow=True)
-            .start()
+
+    # two micro-batches per side, split at each key's time midpoint (per-key
+    # in-order delivery preserved) — so the ORACLE exercises the stateful
+    # path: pending arrays survive a trigger, pruning below the emitted
+    # watermark, and the stale-recompression clip, not just a single pass
+    def _halves(df):
+        w = W.partitionBy("user_id").orderBy("ts")
+        r = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(W.partitionBy("user_id"))
         )
-        q.awaitTermination(300)
+        first = r.filter(F.col("_rn") * 2 <= F.col("_n")).drop("_rn", "_n")
+        second = r.filter(F.col("_rn") * 2 > F.col("_n")).drop("_rn", "_n")
+        return first, second
+
+    try:
+        (a1, a2), (b1, b2) = _halves(a), _halves(b)
+
+        def _write(batch_l, batch_r):
+            # one new file per side per delivery => one in-order micro-batch
+            batch_l.coalesce(1).write.mode("append").parquet(tmp + "/l")
+            batch_r.coalesce(1).write.mode("append").parquet(tmp + "/r")
+
+        def _trigger():
+            left = spark.readStream.schema(a.schema).parquet(tmp + "/l")
+            right = spark.readStream.schema(b.schema).parquet(tmp + "/r")
+            merged = stream_merge_series(left, right, ["user_id"], op="plus")
+            q = (
+                merged.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", tmp + "/out")
+                .option("checkpointLocation", tmp + "/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        _write(a1, b1)
+        _trigger()
+        _write(a2, b2)
+        _trigger()
         out = spark.read.parquet(tmp + "/out")
         # materialize before the temp dir goes away
         pdf = out.toPandas()
