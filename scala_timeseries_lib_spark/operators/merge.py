@@ -112,17 +112,19 @@ def merge_series(
     - ``"auto"`` (default) — relational for named ops when its requirements
       hold (measured faster at sf0.1, see BENCH/BASELINE.md crossover
       note), kernel otherwise. With ``skew_guard`` (default on), auto also
-      routes by KEY POPULATION: the side-tagged projected union is
-      materialized once (``localCheckpoint``), per-key entry counts are
-      observed from the materialized blocks, and any key above
-      ``hot_threshold`` (default ``HOT_KEY_THRESHOLD`` = 1M entries, the
-      measured crossover) merges through an auto-sized ``time_slice`` while
-      the rest keep the plain one-shuffle plan — no caller hint needed for
-      the pathological single-series case. Identical output on every route
-      (pinned). Costs one materialization of the projected input (the same
-      bytes the merge shuffle moves); set ``skew_guard=False`` to keep the
-      fully lazy plan. The guard is skipped for ops that cannot slice
-      (minus with both defaults) and when ``time_slice`` is given.
+      routes by KEY POPULATION: any key above ``hot_threshold`` (default
+      ``HOT_KEY_THRESHOLD`` = 1M entries, the measured crossover) merges
+      through an auto-sized ``time_slice`` while the rest keep the plain
+      one-shuffle plan — no caller hint needed for the pathological
+      single-series case. Identical output on every route (pinned).
+      Detection is staged cheapest-first (see ``_route_hot_keys``): a
+      no-job leaf row-count bound proves small inputs hot-key-free and
+      keeps the plan FULLY LAZY; otherwise a 1% sampled count probes for
+      candidates (one lightweight job, no materialization); only a flagged
+      candidate triggers the exact materialize-and-count routing pass.
+      Set ``skew_guard=False`` to skip even the probe. The guard is
+      skipped for ops that cannot slice (minus with both defaults) and
+      when ``time_slice`` is given.
 
     ``time_slice`` (ms) is the hot-series escape hatch: one series is
     otherwise inherently sequential inside its kernel call, so a single
@@ -590,6 +592,70 @@ _HOT_SLICE_TARGET = 100_000
 # above this many hot keys the per-key split predicate stops being a cheap
 # broadcast filter; slice the whole merge instead (output is identical)
 _MAX_HOT_KEYS = 64
+# sampled hot-key detection (guide §2.5: a 1M-entry key cannot hide from a
+# 1% sample): detection runs on tagged.sample(_GUARD_SAMPLE_FRACTION) with
+# the threshold halved for margin. Chernoff bound on the false-negative
+# rate: a truly hot key (n >= hot_threshold) yields Binomial(n, 0.01)
+# sampled rows with mean >= 10_000 at the default threshold; the halved cut
+# (5_000) is missed with P < exp(-mean/8) ~ e^-1250 -- never. Sampling is
+# only used when hot_threshold * fraction >= _GUARD_SAMPLE_MIN_ROWS, i.e.
+# the expected sample of a threshold-sized key is big enough for that bound
+# to have teeth; below it (tiny thresholds, only seen in tests) detection
+# falls back to the exact materialize-and-count pass.
+_GUARD_SAMPLE_FRACTION = 0.01
+_GUARD_SAMPLE_SEED = 0xC0FFEE
+_GUARD_SAMPLE_MIN_ROWS = 50
+# reading parquet footers is a driver-side metadata touch per file; past
+# this many files a sampled count job is cheaper than the listing
+_GUARD_BOUND_MAX_FILES = 256
+
+
+def _leaf_row_bound(df: DataFrame) -> int | None:
+    """Upper bound on ``df``'s row count with NO Spark job: the sum of leaf
+    row counts (parquet footer metadata / local-relation sizes), valid only
+    when the optimized plan contains no row-expanding operator (join,
+    generate/explode, expand). Filters, projections, windows, aggregations,
+    repartitions and unions never emit more rows than their children, so
+    the leaf total bounds every such plan. Returns None when the bound is
+    unavailable or would be unsound -- callers must then detect the hard
+    way. Cost: one footer read per leaf file, capped at
+    ``_GUARD_BOUND_MAX_FILES``."""
+    try:
+        # the ANALYZED plan: already computed eagerly at DataFrame
+        # construction, so reading it costs no new Catalyst pass (the
+        # optimizer only ever removes/fuses operators, never adds
+        # row-expanding ones, so the expansion check is equivalent)
+        plan = df._jdf.queryExecution().analyzed()
+        tree = plan.toString()
+        # row-expanding operators invalidate the bound (a column NAME
+        # containing these words only makes the check conservative)
+        if any(m in tree for m in ("Join", "Generate", "Expand", "Repeat")):
+            return None
+        leaves = plan.collectLeaves()
+        total = 0
+        n_files = 0
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls == "LocalRelation":
+                total += leaf.data().size()
+                continue
+            if cls != "LogicalRelation":
+                return None
+            for f in leaf.relation().location().inputFiles():
+                n_files += 1
+                if n_files > _GUARD_BOUND_MAX_FILES:
+                    return None
+                if f.startswith("file:"):
+                    f = f[5:]
+                elif "://" in f:
+                    return None  # remote store: footers are not a free read
+                total += pq.ParquetFile(f).metadata.num_rows
+        return total
+    except Exception:
+        return None
 
 
 def _hot_key_predicate(key_cols, hot_rows):
@@ -612,27 +678,69 @@ def _route_hot_keys(
     hot_threshold: int,
 ) -> DataFrame:
     """AQE-style skew routing shared by the whole relational merge family
-    (the north rule's hot-domain mandate, BASELINE.json:14): materialize
-    the projected side-tagged union ONCE (``localCheckpoint`` — the same
-    bytes the merge shuffle was about to move anyway), observe per-key
-    entry counts and time spans from the materialized blocks, then route:
+    (the north rule's hot-domain mandate, BASELINE.json:14). Detection is
+    staged cheapest-first so the common no-hot-key case pays (nearly)
+    nothing (round-6 optimization; guide §2.5):
 
-    - no key above ``hot_threshold``      → the plain one-shuffle plan;
-    - a few hot keys (≤ _MAX_HOT_KEYS)    → hot keys merge sliced (width
-      sized so each (key, slice) holds ~_HOT_SLICE_TARGET entries), the
-      rest keep the plain plan, results unioned — the bulk pays zero tax;
-    - pathologically many hot keys        → slice the whole merge.
+    1. **Row-count floor, no job.** If the plan's leaf row-count bound
+       (:func:`_leaf_row_bound`, parquet footers -- sound because the merge
+       input plan has no row-expanding operator) is ``<= hot_threshold``,
+       NO key can be hot: return the fully lazy plain plan untouched.
+    2. **Sampled probe, one lightweight job.** Per-key counts over a
+       ``_GUARD_SAMPLE_FRACTION`` sample, flagged at half the scaled
+       threshold -- a hot key cannot hide from a 1% sample (Chernoff bound
+       above). No materialization, no checkpoint: the probe recomputes the
+       input lineage once, but moves only sampled keys through a tiny
+       partial-aggregated shuffle. Nothing flagged -> fully lazy plain
+       plan. (Used only when ``hot_threshold * fraction >=
+       _GUARD_SAMPLE_MIN_ROWS``; tiny thresholds go straight to 3.)
+    3. **Exact routing, rare path.** Only with a flagged candidate is the
+       projected union materialized ONCE (``localCheckpoint`` -- the same
+       bytes the merge shuffle was about to move anyway) and counted
+       exactly, then routed:
+
+       - no key above ``hot_threshold``      -> the plain one-shuffle plan;
+       - a few hot keys (<= _MAX_HOT_KEYS)   -> hot keys merge sliced (each
+         key's OWN width, sized so each (key, slice) holds
+         ~_HOT_SLICE_TARGET entries; keys are grouped into power-of-two
+         width buckets so one temporally dense key cannot force the finest
+         width on every other), the rest keep the plain plan, results
+         unioned -- the bulk pays zero tax;
+       - pathologically many hot keys        -> slice the whole merge.
 
     ``merge_fn(tagged_subset, time_slice_or_None)`` builds the engine plan.
     Output is identical on every route (pinned by tests); only the physical
-    window partitioning changes. The count pass reads the checkpointed
-    blocks, not the input lineage, so derivations are never recomputed —
-    callers who cannot afford the materialization set ``skew_guard=False``.
-    (Measured alternative: ``persist()`` + letting the count job
-    materialize the cache saves one job but scans slower — 1.53× vs the
-    checkpoint's 1.38× premium on the sf0.1 merge shape — so the eager
-    local checkpoint stays.)
+    window partitioning changes. Callers who cannot afford even the sampled
+    probe set ``skew_guard=False``.
+
+    Failure modes, documented: ``localCheckpoint`` (rare path only) is
+    non-reliable storage -- on a real cluster an executor loss invalidates
+    the checkpointed blocks and downstream queries on the returned frame
+    fail; acceptable here because the path only runs when a hot key was
+    already flagged, the routed plan reads the materialized input 2-3
+    times, and re-running the query re-materializes. The sampled probe adds
+    one recomputation of the input lineage (a scan at 100 TB) -- still far
+    cheaper than materializing the full union to executor disks, which is
+    what the round-5 guard did on EVERY merge.
     """
+    bound = _leaf_row_bound(tagged)
+    if bound is not None and bound <= hot_threshold:
+        return merge_fn(tagged, None)
+    frac = _GUARD_SAMPLE_FRACTION
+    if hot_threshold * frac >= _GUARD_SAMPLE_MIN_ROWS:
+        import math  # noqa: PLC0415
+
+        cut = math.ceil(hot_threshold * frac / 2.0)
+        probed = (
+            tagged.sample(fraction=frac, seed=_GUARD_SAMPLE_SEED)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= cut)
+            .limit(1)
+            .collect()
+        )
+        if not probed:
+            return merge_fn(tagged, None)
     tagged = tagged.localCheckpoint(eager=True)
     hot = (
         tagged.groupBy(*key_cols)
@@ -647,19 +755,34 @@ def _route_hot_keys(
     )
     if not hot:
         return merge_fn(tagged, None)
-    # slice width: the finest per-hot-key width that still yields
+
+    # per-key slice width: the finest width that still yields
     # ~_HOT_SLICE_TARGET entries per slice (span * target / n), so a key
     # packed into a day splits as surely as one spread over years
-    width = min(
-        max(1, (int(r["_hi"]) - int(r["_lo"])) * _HOT_SLICE_TARGET // int(r["_n"]))
-        for r in hot
-    )
+    def _width(r):
+        return max(
+            1, (int(r["_hi"]) - int(r["_lo"])) * _HOT_SLICE_TARGET // int(r["_n"])
+        )
+
     if len(hot) > _MAX_HOT_KEYS:
-        return merge_fn(tagged, width)
-    pred = _hot_key_predicate(key_cols, hot)
-    return merge_fn(tagged.filter(pred), width).unionByName(
-        merge_fn(tagged.filter(~pred), None)
+        return merge_fn(tagged, min(_width(r) for r in hot))
+    # group hot keys into power-of-two width buckets (each bucket merges at
+    # its finest member width): a wide-span key is no longer exploded into
+    # the pieces a dense key needs, and the branch count stays ~log-bounded
+    buckets: dict[int, list] = {}
+    for r in hot:
+        buckets.setdefault(_width(r).bit_length(), []).append(r)
+    out = None
+    for rows in buckets.values():
+        part = merge_fn(
+            tagged.filter(_hot_key_predicate(key_cols, rows)),
+            min(_width(r) for r in rows),
+        )
+        out = part if out is None else out.unionByName(part)
+    cold = merge_fn(
+        tagged.filter(~_hot_key_predicate(key_cols, hot)), None
     )
+    return out.unionByName(cold)
 
 
 def _merge_auto_skew(
