@@ -580,7 +580,13 @@ def _q_stream_merge_prefix(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            # a silent timeout here would leave a partial out/ directory
+            # and surface as a confusing oracle mismatch downstream
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_merge_prefix trigger did not finish within 300s"
+                )
 
         _write(a1, b1)
         _trigger()

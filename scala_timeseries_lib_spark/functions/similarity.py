@@ -197,14 +197,17 @@ def ivf_train_kmeans(
     engines agree). One broadcast join + one explode-aggregate per round;
     round cost is one corpus pass — at 100 TB train on a sample, the
     assignment math does not change."""
-    from pyspark.sql import Window
-
     base = df.select("vec_id", _quantized(F.col("embedding")).alias("q"))
     cents = base.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"), F.col("q").alias("c_emb")
     )
     for _ in range(n_iters):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid"))
+        # argmax via max_by aggregation, not a row_number window: the
+        # aggregate gets map-side partial aggregation, so the per-round
+        # shuffle moves ~N best-so-far rows instead of N x K scored rows
+        # (guide §2.3). Tie-break identical to the former window's
+        # (desc csim, asc centroid): maximize (csim, -centroid); rows tied
+        # on both carry the same (centroid, q), so the pick is total.
         assigned = (
             base.crossJoin(F.broadcast(cents))
             .select(
@@ -213,8 +216,17 @@ def ivf_train_kmeans(
                     _cos_int(F.col("q"), F.col("c_emb")), round_to
                 ).alias("csim"),
             )
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("centroid", "q"),
+                    F.struct(F.col("csim"), (-F.col("centroid")).alias("nc")),
+                ).alias("_best")
+            )
+            .select(
+                F.col("_best.centroid").alias("centroid"),
+                F.col("_best.q").alias("q"),
+            )
         )
         sums = (
             assigned.select("centroid", F.posexplode("q").alias("dim", "v"))

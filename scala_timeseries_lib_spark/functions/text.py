@@ -223,7 +223,6 @@ def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 out.append(syms[i])
                 i += 1
         syms = out
-        joined = " ".join(syms)
     return syms
 
 

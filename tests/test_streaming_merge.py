@@ -38,7 +38,9 @@ def _run_stream(spark, src_l, src_r, ckpt, out, op="plus"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming trigger did not finish within 180s")
 
 
 def _expected(left_rows, right_rows, op):
