@@ -302,7 +302,17 @@ def _q_gorilla_roundtrip(spark, sf_dir):
         ts = pdf["ts"].to_numpy()
         val = pdf["value"].to_numpy()
         dur = pdf["validity"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        # block-split sparse series at gaps the Gorilla delta-of-delta wire
+        # format cannot carry (>= 2^31 ms between consecutive entries, the
+        # TimestampValidator constraint): each segment becomes its own
+        # block, exactly what GorillaSuperBlock's writer does on real data.
+        # Decoding concatenates segments in order, so output is unchanged.
+        gap_break = np.r_[False, np.diff(ts) >= (1 << 31)] & np.r_[
+            False, codes[1:] == codes[:-1]
+        ]
+        starts = np.flatnonzero(
+            np.r_[True, codes[1:] != codes[:-1]] | gap_break
+        )
         ends = np.r_[starts[1:], codes.size]
         blobs = [
             compress_tuple_block_arrays(

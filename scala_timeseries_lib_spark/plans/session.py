@@ -23,13 +23,16 @@ def _default_driver_mem() -> str:
     In ``local[*]`` mode the driver JVM IS every executor: all task
     execution memory, the SQL cache, and every broadcast live in this one
     heap. The old fixed ``8g`` default was measured memory-starved once
-    inputs reach ~10^6 input rows / ~10^7 exploded pieces (sf1.0 1m rollup:
-    20.5 s spilling at 8g -> 3.9 s at 48g on the same box; the x48
-    amplified tier swung 2x run-to-run from GC pressure alone). Default to
-    40% of physical RAM clamped to [8g, 64g] -- adaptive to the machine,
-    not tuned to one benchmark size; override with $SPARK_GRAFT_DRIVER_MEM.
-    On a real cluster the driver does no data work and this default is
-    simply ignored in favor of the submitted --driver-memory."""
+    inputs reach ~10^6 input rows / ~10^7 exploded pieces (sf1.0 1m
+    rollup: 20.5 s spilling at 8g -> ~3 s with a fitted heap on the same
+    box; the tier chain 42.6 s -> 12.8 s). Oversizing costs too: at 50g,
+    G1's grown young generation added a consistent ~0.1 s to every tiny
+    query (measured A/B at sf0.1). Default to 1/8 of physical RAM clamped
+    to [8g, 32g] -- adaptive to the machine, sized so the largest
+    single-query working set measured (the x48 amplified tier, ~300M
+    cached points ~= 10 GiB live) fits without spill while GC latency
+    stays flat; override with $SPARK_GRAFT_DRIVER_MEM. On a real cluster
+    the driver does no data work and the submitted --driver-memory wins."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
@@ -39,7 +42,7 @@ def _default_driver_mem() -> str:
         ) >> 30
     except (ValueError, OSError, AttributeError):
         return "8g"
-    return f"{min(max(8, int(phys_gib * 0.4)), 64)}g"
+    return f"{min(max(8, int(phys_gib / 8)), 32)}g"
 
 
 def get_spark(
