@@ -610,34 +610,44 @@ _GUARD_SAMPLE_MIN_ROWS = 50
 _GUARD_BOUND_MAX_FILES = 256
 
 
+def _plan_leaves(df: DataFrame):
+    """Leaves of the analyzed plan, or None when the plan contains a
+    row-expanding operator (join, generate/explode, expand) -- leaf-based
+    row bounds are then unsound. The ANALYZED plan is already computed
+    eagerly at DataFrame construction, so reading it costs no new Catalyst
+    pass (the optimizer only ever removes/fuses operators, never adds
+    row-expanding ones, so the expansion check is equivalent). A column
+    NAME containing a marker word only makes the check conservative."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        tree = plan.toString()
+        if any(m in tree for m in ("Join", "Generate", "Expand", "Repeat")):
+            return None
+        leaves = plan.collectLeaves()
+        return [leaves.apply(i) for i in range(leaves.size())]
+    except Exception:
+        return None
+
+
 def _leaf_row_bound(df: DataFrame) -> int | None:
     """Upper bound on ``df``'s row count with NO Spark job: the sum of leaf
     row counts (parquet footer metadata / local-relation sizes), valid only
-    when the optimized plan contains no row-expanding operator (join,
-    generate/explode, expand). Filters, projections, windows, aggregations,
+    when the plan contains no row-expanding operator (see
+    :func:`_plan_leaves`). Filters, projections, windows, aggregations,
     repartitions and unions never emit more rows than their children, so
     the leaf total bounds every such plan. Returns None when the bound is
     unavailable or would be unsound -- callers must then detect the hard
     way. Cost: one footer read per leaf file, capped at
     ``_GUARD_BOUND_MAX_FILES``."""
+    leaves = _plan_leaves(df)
+    if leaves is None:
+        return None
     try:
-        # the ANALYZED plan: already computed eagerly at DataFrame
-        # construction, so reading it costs no new Catalyst pass (the
-        # optimizer only ever removes/fuses operators, never adds
-        # row-expanding ones, so the expansion check is equivalent)
-        plan = df._jdf.queryExecution().analyzed()
-        tree = plan.toString()
-        # row-expanding operators invalidate the bound (a column NAME
-        # containing these words only makes the check conservative)
-        if any(m in tree for m in ("Join", "Generate", "Expand", "Repeat")):
-            return None
-        leaves = plan.collectLeaves()
         total = 0
         n_files = 0
         import pyarrow.parquet as pq  # noqa: PLC0415
 
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
+        for leaf in leaves:
             cls = leaf.getClass().getSimpleName()
             if cls == "LocalRelation":
                 total += leaf.data().size()
@@ -654,6 +664,48 @@ def _leaf_row_bound(df: DataFrame) -> int | None:
                     return None  # remote store: footers are not a free read
                 total += pq.ParquetFile(f).metadata.num_rows
         return total
+    except Exception:
+        return None
+
+
+def _leaf_key_frame(df: DataFrame, key_cols: list[str]) -> DataFrame | None:
+    """The key columns of ``df``'s LEAF parquet relations, rebuilt as a
+    fresh scan -- a sound OVER-approximation of ``df``'s per-key row
+    counts (the plan has no row-expanding operator per
+    :func:`_plan_leaves`, and everything else only drops rows), at the
+    cost of a column-pruned parquet scan instead of recomputing the full
+    derivation lineage (shuffles, windows) just to count sampled keys.
+
+    Only valid when every leaf is a parquet relation exposing ALL key
+    columns by name -- true for every operator in this package (entries
+    tables' key columns pass through projections unrenamed). A caller who
+    aliased an unrelated leaf column into a key name would misdirect the
+    probe; the consequence is bounded to a missed routing (performance),
+    never a wrong result. Returns None when unavailable -- callers then
+    probe the real lineage."""
+    leaves = _plan_leaves(df)
+    if leaves is None:
+        return None
+    try:
+        spark = df.sparkSession
+        parts = []
+        for leaf in leaves:
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                return None
+            rel = leaf.relation()
+            if "Parquet" not in rel.fileFormat().toString():
+                return None
+            names = {f.name() for f in rel.schema().fields()}
+            if not all(k in names for k in key_cols):
+                return None
+            files = list(rel.location().inputFiles())
+            if not files:
+                return None
+            parts.append(spark.read.parquet(*files).select(*key_cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     except Exception:
         return None
 
@@ -731,8 +783,15 @@ def _route_hot_keys(
         import math  # noqa: PLC0415
 
         cut = math.ceil(hot_threshold * frac / 2.0)
+        # probe the cheapest sound over-approximation available: the raw
+        # leaf key columns (a column-pruned parquet scan, no lineage
+        # shuffles/windows) when the plan allows it, the real tagged
+        # lineage otherwise
+        probe_src = _leaf_key_frame(tagged, key_cols)
+        if probe_src is None:
+            probe_src = tagged
         probed = (
-            tagged.sample(fraction=frac, seed=_GUARD_SAMPLE_SEED)
+            probe_src.sample(fraction=frac, seed=_GUARD_SAMPLE_SEED)
             .groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") >= cut)
